@@ -1,0 +1,112 @@
+"""RMem's importance-x-freshness slot eviction as a pure function.
+
+Reference algorithm (aot_plus/networks/layers/transformer.py:324-436, invoked
+from engines/aot_engine.py:350-369):
+
+1. importance: layer-0 long-term attention mass per slot, recorded during the
+   *propagate* call (so it covers the pre-append slots), weighted per query
+   pixel by predicted foreground probability, summed over queries, normalized
+   (transformer.py:339-353).
+2. moving mean per frame id with factor 0.8 (transformer.py:356-375).
+3. UCB freshness bonus 1.5*sqrt(log(sum(n)) / (n + 8)) where n counts eviction
+   rounds survived; slot 0's count is pinned to the number of pre-append slots
+   (transformer.py:377-402).
+4. evict argmin over slots >= 1, never slot 0 (reference frame) nor the
+   just-appended slot (transformer.py:404-411).
+At train time the rule degenerates to FIFO at index `former_mem_len`
+(transformer.py:335; aot_engine.py:366).
+
+Everything here runs on fixed-shape arrays with a validity count, so it lives
+inside the jitted per-frame step with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from rmem_tpu.memory.bank import MemoryBank, bank_compact
+
+MOVING_MEAN_FACTOR = 0.8    # transformer.py:363
+UCB_ADD = 8.0               # transformer.py:397
+UCB_MUL = 1.5               # transformer.py:398
+IGNORE_FORMER = 1           # transformer.py:405 (non-GRU path)
+_INF = jnp.inf
+
+
+def scored_drop_index(bank: MemoryBank, record_mass: jnp.ndarray,
+                      fg_prob: jnp.ndarray):
+    """Compute (drop_idx, new_score, new_scored, new_times).
+
+    record_mass: [B, HWq, S] per-slot attention mass from layer 0 of the last
+      propagate (slots >= count-1 are garbage: the newest slot was appended
+      after recording). Already head-averaged; sums to 1 over (slot, key)
+      pairs per query.
+    fg_prob: [B, HWq] predicted foreground probability at encoder resolution
+      (aot_engine.py:355-362). Only B=1 matches the reference's eval-only
+      assert (transformer.py:641); with B>1 we average mass over the batch.
+    """
+    capacity = bank.capacity
+    n_after = bank.count              # slots after append
+    n_old = n_after - 1               # slots covered by record_mass
+    slot_ids = jnp.arange(capacity)
+    old_mask = slot_ids < n_old
+
+    # 1. foreground-weighted attention mass, normalized over old slots
+    w = jnp.einsum("bqs,bq->s", record_mass.astype(jnp.float32),
+                   fg_prob.astype(jnp.float32)) / record_mass.shape[0]
+    w = jnp.where(old_mask, w, 0.0)
+    w = w / jnp.maximum(jnp.sum(w), 1e-12)
+
+    # 2. moving mean (dict semantics: new frames get raw w)
+    new_score = jnp.where(
+        bank.scored, (1.0 - MOVING_MEAN_FACTOR) * bank.score
+        + MOVING_MEAN_FACTOR * w, w)
+    new_score = jnp.where(old_mask, new_score, bank.score)
+    new_scored = bank.scored | old_mask
+
+    # 3. UCB counts: every present slot (incl. the newest) survives one more
+    #    round (transformer.py:378-388)
+    new_times = jnp.where(slot_ids < n_after, bank.times + 1, bank.times)
+    counts = jnp.where(old_mask, new_times.astype(jnp.float32), 0.0)
+    counts = counts.at[0].set(n_old.astype(jnp.float32))  # pin ref slot
+    total_counts = jnp.sum(counts)
+    bonus = UCB_MUL * jnp.sqrt(jnp.log(total_counts)
+                               / (counts + UCB_ADD))
+
+    # 4. argmin over slots [IGNORE_FORMER, n_old)
+    candidates = (slot_ids >= IGNORE_FORMER) & old_mask
+    score_total = jnp.where(candidates, new_score + bonus, _INF)
+    drop_idx = jnp.argmin(score_total).astype(jnp.int32)
+    return drop_idx, new_score, new_scored, new_times
+
+
+def evict_if_full(bank: MemoryBank, former_len: int, latter_len: int,
+                  record_mass: Optional[jnp.ndarray] = None,
+                  fg_prob: Optional[jnp.ndarray] = None,
+                  use_attn_weight: bool = True) -> MemoryBank:
+    """Run one eviction round iff count > former+latter (transformer.py:332).
+
+    With `use_attn_weight=False` (training) drops FIFO at `former_len`.
+    Jit-safe: both branches are computed and selected by `should`.
+    """
+    should = bank.count > (former_len + latter_len)
+
+    if use_attn_weight:
+        assert record_mass is not None and fg_prob is not None
+        drop_idx, new_score, new_scored, new_times = scored_drop_index(
+            bank, record_mass, fg_prob)
+        stats_bank = bank.replace(
+            score=jnp.where(should, new_score, bank.score),
+            scored=jnp.where(should, new_scored, bank.scored),
+            times=jnp.where(should, new_times, bank.times),
+        )
+    else:
+        drop_idx = jnp.asarray(former_len, jnp.int32)
+        stats_bank = bank
+
+    evicted = bank_compact(stats_bank, drop_idx)
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(should, a, b), evicted, stats_bank)

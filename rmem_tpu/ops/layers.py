@@ -1,0 +1,142 @@
+"""Layer primitives (flax.linen), NHWC / [B, HW, C] layouts.
+
+Reference: aot_plus/networks/layers/basic.py (ConvGN, GNActDWConv2d, DWConv2d,
+GroupNorm1D, DropPath) and networks/encoders (FrozenBatchNorm2d folded here
+into a constant affine — BN is frozen in every shipped config,
+configs/models/default.py:15).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# torch eps defaults
+LN_EPS = 1e-5
+GN_EPS = 1e-5
+
+
+class FoldedBN(nn.Module):
+    """Frozen BatchNorm folded to y = x*scale + bias.
+
+    The checkpoint converter folds (gamma, beta, mean, var) into
+    (scale, bias); training never updates these (reference freezes BN:
+    encoders/normalization.py:6, trainer.py:61-88).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
+         bias: bool = True, groups: int = 1, name: Optional[str] = None,
+         padding=None) -> nn.Conv:
+    """torch-style conv: explicit symmetric padding k//2*dilation."""
+    if padding is None:
+        pad = (kernel // 2) * dilation
+        padding = ((pad, pad), (pad, pad))
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   kernel_dilation=(dilation, dilation), padding=padding,
+                   use_bias=bias, feature_group_count=groups, name=name)
+
+
+def max_pool_3x3_s2(x):
+    """torch MaxPool2d(3, 2, padding=1) on NHWC."""
+    return nn.max_pool(x, (3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)))
+
+
+class ConvGN(nn.Module):
+    """Conv + GroupNorm (basic.py:60-70)."""
+
+    out_dim: int
+    kernel_size: int
+    gn_groups: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        x = conv(self.out_dim, self.kernel_size, name="conv")(x)
+        return nn.GroupNorm(num_groups=self.gn_groups, epsilon=GN_EPS,
+                            name="gn")(x)
+
+
+class GNActDWConv2d(nn.Module):
+    """GroupNorm(32) + GELU + 5x5 depthwise conv on seq input
+    (basic.py:15-35). x: [B, HW, C] with size_2d giving (H, W)."""
+
+    indim: int
+    gn_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x, size_2d: Tuple[int, int]):
+        h, w = size_2d
+        b, hw, c = x.shape
+        x2 = x.reshape(b, h, w, c)
+        x2 = nn.GroupNorm(num_groups=self.gn_groups, epsilon=GN_EPS,
+                          name="gn")(x2)
+        x2 = jax.nn.gelu(x2, approximate=False)
+        x2 = conv(self.indim, 5, bias=False, groups=self.indim,
+                  name="conv")(x2)
+        return x2.reshape(b, hw, c)
+
+
+class DWConv2d(nn.Module):
+    """5x5 depthwise conv + dropout on seq input (basic.py:38-57)."""
+
+    indim: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, size_2d: Tuple[int, int],
+                 deterministic: bool = True):
+        h, w = size_2d
+        b, hw, c = x.shape
+        x2 = x.reshape(b, h, w, c)
+        x2 = conv(self.indim, 5, bias=False, groups=self.indim,
+                  name="conv")(x2)
+        x2 = x2.reshape(b, hw, c)
+        if self.dropout > 0.0 and not deterministic:
+            # torch Dropout2d over channels of [B,C,H,W]: per (B, C) mask
+            keep = 1.0 - self.dropout
+            mask = jax.random.bernoulli(
+                self.make_rng("dropout"), keep, (b, 1, c))
+            x2 = x2 * mask.astype(x2.dtype) / keep
+        return x2
+
+
+def layer_norm(name: str) -> nn.LayerNorm:
+    return nn.LayerNorm(epsilon=LN_EPS, name=name)
+
+
+class GroupNorm1D(nn.Module):
+    """GroupNorm over the channel axis of [B, HW, C] (basic.py:6-12)."""
+
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=self.groups, epsilon=GN_EPS,
+                            name="gn")(x)
+
+
+def drop_path(x: jnp.ndarray, rate: float, rng: Optional[jax.Array],
+              deterministic: bool) -> jnp.ndarray:
+    """Stochastic depth over the batch dim (basic.py:98-117)."""
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(rng, shape, x.dtype))
+    return x / keep * mask
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)

@@ -1,0 +1,99 @@
+"""Resize ops with exact PyTorch semantics, expressed as matmuls.
+
+The reference relies on `F.interpolate(mode='bilinear', align_corners=True)`
+for logit/feature upsampling (aot_plus/networks/engines/aot_engine.py:471-476,
+networks/decoders/fpn.py:49-60) and `mode='nearest'` for mask downsampling
+(aot_plus/networks/engines/aot_engine.py:271-272). `jax.image.resize` only
+implements half-pixel-centers bilinear, so we build explicit 1-D interpolation
+matrices instead. Static shapes mean the matrices are trace-time constants and
+the resize compiles to two MXU matmuls — the TPU-fast formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=256)
+def _interp_matrix_np(n_out: int, n_in: int, align_corners: bool) -> np.ndarray:
+    """[n_out, n_in] linear interpolation matrix matching torch bilinear."""
+    m = np.zeros((n_out, n_in), dtype=np.float32)
+    if n_in == 1:
+        m[:, 0] = 1.0
+        return m
+    if align_corners:
+        if n_out == 1:
+            pos = np.zeros((1,), dtype=np.float64)
+        else:
+            pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    else:
+        pos = (np.arange(n_out, dtype=np.float64) + 0.5) * n_in / n_out - 0.5
+        pos = np.clip(pos, 0.0, n_in - 1)
+    lo = np.floor(pos).astype(np.int64)
+    lo = np.clip(lo, 0, n_in - 1)
+    hi = np.minimum(lo + 1, n_in - 1)
+    w = (pos - lo).astype(np.float32)
+    m[np.arange(n_out), lo] += 1.0 - w
+    m[np.arange(n_out), hi] += w
+    return m
+
+
+def interp_matrix(n_out: int, n_in: int, align_corners: bool = True,
+                  dtype=jnp.float32) -> jnp.ndarray:
+    return jnp.asarray(_interp_matrix_np(n_out, n_in, align_corners), dtype)
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = True,
+                    channel_last: bool = True) -> jnp.ndarray:
+    """Bilinear resize of NHWC (or NCHW) images via interpolation matmuls."""
+    H, W = out_hw
+    if channel_last:
+        b, h, w, c = x.shape
+        if (h, w) == (H, W):
+            return x
+        mh = interp_matrix(H, h, align_corners, jnp.float32)
+        mw = interp_matrix(W, w, align_corners, jnp.float32)
+        y = jnp.einsum("Hh,bhwc->bHwc", mh, x.astype(jnp.float32),
+                       precision="highest")
+        y = jnp.einsum("Ww,bHwc->bHWc", mw, y, precision="highest")
+        return y.astype(x.dtype)
+    else:
+        b, c, h, w = x.shape
+        if (h, w) == (H, W):
+            return x
+        mh = interp_matrix(H, h, align_corners, jnp.float32)
+        mw = interp_matrix(W, w, align_corners, jnp.float32)
+        y = jnp.einsum("Hh,bchw->bcHw", mh, x.astype(jnp.float32),
+                       precision="highest")
+        y = jnp.einsum("Ww,bcHw->bcHW", mw, y, precision="highest")
+        return y.astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _nearest_idx_np(n_out: int, n_in: int) -> np.ndarray:
+    # torch mode='nearest': src = floor(i * n_in / n_out)
+    idx = np.floor(np.arange(n_out, dtype=np.float64) * n_in / n_out)
+    return np.clip(idx.astype(np.int64), 0, n_in - 1)
+
+
+def resize_nearest(x: jnp.ndarray, out_hw, channel_last: bool = True
+                   ) -> jnp.ndarray:
+    """Nearest resize matching torch `F.interpolate(mode='nearest')`."""
+    H, W = out_hw
+    if channel_last:
+        b, h, w, c = x.shape
+        if (h, w) == (H, W):
+            return x
+        iy = jnp.asarray(_nearest_idx_np(H, h))
+        ix = jnp.asarray(_nearest_idx_np(W, w))
+        return x[:, iy][:, :, ix]
+    else:
+        b, c, h, w = x.shape
+        if (h, w) == (H, W):
+            return x
+        iy = jnp.asarray(_nearest_idx_np(H, h))
+        ix = jnp.asarray(_nearest_idx_np(W, w))
+        return x[:, :, iy][:, :, :, ix]

@@ -1,0 +1,51 @@
+"""Temporal positional embedding over memory slots (the RMem 'Temp_pe_Slot_4').
+
+The reference learns a 4-slot table `mem_pos_emb [4, C]` plus a query-side
+`cur_pos_emb [1, C]` and stretches the table to the current bank length T:
+linear interpolation with align_corners=True when T <= 4, and a
+flip -> nearest-expand -> flip when T > 4 so the *last* table entries align
+with the *newest* slots (aot_plus/networks/layers/transformer.py:594-629).
+
+Here T is a traced value (the bank has static capacity S with a validity
+count), so we evaluate both formulas per slot index and select — no dynamic
+shapes, no recompiles as the bank fills.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def interpolate_temporal_pe(mem_pos_emb: jnp.ndarray, t: jnp.ndarray,
+                            capacity: int) -> jnp.ndarray:
+    """Stretch the [P, C] slot table to `t` valid slots of a capacity-S bank.
+
+    Returns [S, C]; rows >= t are unspecified (callers mask invalid slots).
+
+    Exact torch semantics reproduced:
+    - t == 1: PE[0] (transformer.py:603-604); the linear formula degrades to
+      this because pos = 0.
+    - 2 <= t <= P: `F.interpolate(mode='linear', align_corners=True)` from P
+      to t: pos_i = i * (P-1) / (t-1) (transformer.py:607-608).
+    - t > P: flip, `mode='nearest'` expand P -> t, flip back: the source index
+      for output i is P-1 - floor((t-1-i) * P / t) (transformer.py:611-615).
+    """
+    P, C = mem_pos_emb.shape
+    s = jnp.arange(capacity, dtype=jnp.float32)
+    t_f = jnp.asarray(t, jnp.float32)
+
+    # linear align_corners branch (valid when t <= P)
+    denom = jnp.maximum(t_f - 1.0, 1.0)
+    pos = s * (P - 1) / denom
+    lo = jnp.clip(jnp.floor(pos), 0, P - 1).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, P - 1)
+    w = (pos - lo.astype(jnp.float32)).astype(mem_pos_emb.dtype)
+    linear_pe = (mem_pos_emb[lo] * (1.0 - w)[:, None]
+                 + mem_pos_emb[hi] * w[:, None])
+
+    # flip-nearest branch (t > P)
+    src = (P - 1) - jnp.floor((t_f - 1.0 - s) * P / jnp.maximum(t_f, 1.0))
+    src = jnp.clip(src, 0, P - 1).astype(jnp.int32)
+    nearest_pe = mem_pos_emb[src]
+
+    return jnp.where(t <= P, linear_pe, nearest_pe)

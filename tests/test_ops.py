@@ -1,0 +1,158 @@
+"""Torch-parity tests for the pure ops (resize, temporal PE, losses, masks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from rmem_tpu.ops.losses import cross_entropy_topk, segmentation_loss, soft_jaccard
+from rmem_tpu.ops.masks import apply_ignore_token, mask_unused_ids, one_hot_mask
+from rmem_tpu.ops.resize import resize_bilinear, resize_nearest
+from rmem_tpu.ops.temporal_pe import interpolate_temporal_pe
+
+
+@pytest.mark.parametrize("align", [True, False])
+@pytest.mark.parametrize("shape", [((7, 9), (13, 17)), ((30, 30), (59, 59)),
+                                   ((31, 54), (481, 857)), ((16, 16), (5, 3))])
+def test_resize_bilinear_matches_torch(shape, align):
+    (h, w), (H, W) = shape
+    x = np.random.RandomState(0).rand(2, 3, h, w).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), size=(H, W), mode="bilinear",
+                        align_corners=align).numpy()
+    got = resize_bilinear(jnp.asarray(x), (H, W), align_corners=align,
+                          channel_last=False)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [((13, 17), (7, 9)), ((465, 465), (30, 30))])
+def test_resize_nearest_matches_torch(shape):
+    (h, w), (H, W) = shape
+    x = np.random.RandomState(1).rand(1, 2, h, w).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), size=(H, W), mode="nearest").numpy()
+    got = resize_nearest(jnp.asarray(x), (H, W), channel_last=False)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def _torch_temporal_pe(mem_pos_emb: np.ndarray, T: int) -> np.ndarray:
+    """Reference semantics (transformer.py:594-629), independent re-impl."""
+    P, C = mem_pos_emb.shape
+    pe = torch.from_numpy(mem_pos_emb)
+    if T == 1:
+        return mem_pos_emb[0:1]
+    x = pe.permute(1, 0).view(1, C, -1)
+    if T <= P:
+        x = F.interpolate(x, size=T, mode="linear", align_corners=True)
+    else:
+        x = F.interpolate(x, size=P, mode="linear", align_corners=True)
+        x = torch.flip(x, dims=(-1,))
+        x = F.interpolate(x, size=T, mode="nearest")
+        x = torch.flip(x, dims=(-1,))
+    return x.view(C, T).permute(1, 0).numpy()
+
+
+@pytest.mark.parametrize("t", [1, 2, 3, 4, 5, 7, 9, 10, 16])
+def test_temporal_pe_matches_torch(t):
+    pe = np.random.RandomState(2).randn(4, 8).astype(np.float32)
+    ref = _torch_temporal_pe(pe, t)
+    got = np.asarray(interpolate_temporal_pe(jnp.asarray(pe), jnp.int32(t),
+                                             capacity=20))[:t]
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_temporal_pe_traced_t():
+    """t may be a traced value — no recompile per bank size."""
+    pe = jnp.asarray(np.random.RandomState(3).randn(4, 8).astype(np.float32))
+    f = jax.jit(lambda t: interpolate_temporal_pe(pe, t, capacity=12))
+    for t in (1, 4, 9):
+        ref = _torch_temporal_pe(np.asarray(pe), t)
+        np.testing.assert_allclose(np.asarray(f(jnp.int32(t)))[:t], ref,
+                                   atol=1e-5)
+
+
+def _torch_topk_ce(logits, label, obj_num, step, topk=0.15, mining=10_000.0):
+    lg = torch.from_numpy(logits)[None, : obj_num + 1]  # [1,C,H,W]
+    gt = torch.from_numpy(label)[None]
+    num_pixels = float(lg.size(2) * lg.size(3))
+    lg = lg.view(-1, lg.size(1), lg.size(2) * lg.size(3))
+    gt2 = gt.reshape(-1, gt.size(1) * gt.size(2))
+    pix = F.cross_entropy(lg, gt2.long(), ignore_index=255, reduction="none")
+    ratio = min(1.0, step / mining)
+    k = int((ratio * topk + (1.0 - ratio)) * num_pixels)
+    top, _ = torch.topk(pix, k=k, dim=1)
+    return top.mean().item()
+
+
+@pytest.mark.parametrize("step", [0, 5000, 20000])
+def test_cross_entropy_topk_matches_torch(step):
+    rng = np.random.RandomState(4)
+    logits = rng.randn(11, 12, 13).astype(np.float32)  # C,H,W
+    label = rng.randint(0, 3, size=(12, 13)).astype(np.int64)
+    label[0, :5] = 255
+    ref = _torch_topk_ce(logits, label, obj_num=2, step=step)
+    got = cross_entropy_topk(
+        jnp.asarray(logits.transpose(1, 2, 0)), jnp.asarray(label),
+        jnp.int32(2), jnp.float32(step), 0.15, 10_000.0)
+    np.testing.assert_allclose(float(got), ref, rtol=1e-5)
+
+
+def _torch_soft_jaccard(logits, label, obj_num, eps=1e-6):
+    lg = torch.from_numpy(logits)[None, : obj_num + 1]
+    pred = F.softmax(lg, dim=1)
+    lbl = torch.from_numpy(label).view(-1)
+    B, C, H, W = pred.size()
+    probas = pred.permute(0, 2, 3, 1).reshape(-1, C)
+    valid = lbl != 255
+    probas, lbl = probas[valid], lbl[valid]
+    losses = []
+    for c in range(C):
+        fg = (lbl == c).float()
+        if fg.sum() == 0:
+            continue
+        p0 = probas[:, c]
+        num = torch.sum(p0 * fg)
+        den = num + torch.sum(p0 * (1 - fg)) + torch.sum((1 - p0) * fg)
+        losses.append(1 - num / (den + eps))
+    return torch.stack(losses).mean().item()
+
+
+def test_soft_jaccard_matches_torch():
+    rng = np.random.RandomState(5)
+    logits = rng.randn(11, 9, 10).astype(np.float32)
+    label = rng.randint(0, 4, size=(9, 10)).astype(np.int64)
+    label[3, :] = 255
+    ref = _torch_soft_jaccard(logits, label, obj_num=3)
+    got = soft_jaccard(jnp.asarray(logits.transpose(1, 2, 0)),
+                       jnp.asarray(label), jnp.int32(3))
+    np.testing.assert_allclose(float(got), ref, rtol=1e-4)
+
+
+def test_segmentation_loss_batched():
+    rng = np.random.RandomState(6)
+    logits = jnp.asarray(rng.randn(2, 8, 8, 11).astype(np.float32))
+    label = jnp.asarray(rng.randint(0, 2, size=(2, 8, 8)))
+    out = segmentation_loss(logits, label, jnp.array([1, 1]), jnp.float32(0))
+    assert out.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_one_hot_and_ignore():
+    mask = jnp.asarray([[[0, 1], [255, 2]]])
+    oh, ig = one_hot_mask(mask, 10)
+    assert oh.shape == (1, 2, 2, 11) and ig.shape == (1, 2, 2, 1)
+    assert float(oh[0, 0, 1, 1]) == 1.0
+    assert float(ig[0, 1, 0, 0]) == 1.0
+    assert float(oh[0, 1, 0].sum()) == 0.0  # 255 is not a class
+    full = apply_ignore_token(oh, ig)
+    assert full.shape == (1, 2, 2, 12)
+    # ignored pixel: background zeroed, ignore channel set
+    assert float(full[0, 1, 0, 0]) == 0.0 and float(full[0, 1, 0, 11]) == 1.0
+
+
+def test_mask_unused_ids():
+    logits = jnp.zeros((2, 1, 1, 11))
+    out = mask_unused_ids(logits, jnp.array([2, 10]))
+    assert float(out[0, 0, 0, 2]) == 0.0
+    assert float(out[0, 0, 0, 3]) == -1e10
+    assert float(out[1, 0, 0, 10]) == 0.0
