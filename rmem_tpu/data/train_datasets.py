@@ -1,0 +1,284 @@
+"""Training datasets: VOST/DAVIS/YTB clip samplers + synthetic smoke dataset.
+
+Reference: aot_plus/dataloaders/train_datasets.py. Core behaviors kept:
+- reference-frame sampling requires enough foreground and a bounded
+  ignore-pixel ratio (train_datasets.py:319-343),
+- random frame gaps with reflect-padded index clamping
+  (train_datasets.py:345-409),
+- random sequence reversal (train_datasets.py:278-282),
+- dynamic-merge augmentation compositing two clips' objects
+  (train_datasets.py:28-89), with ignore-union (train_datasets.py:72-74),
+- the synthetic TEST dataset (constant frames, train_datasets.py:821-854).
+
+The host pipeline is a plain iterator + background prefetch thread feeding
+device batches (replaces torch DataLoader workers).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from rmem_tpu.data.transforms import (balanced_random_crop, normalize_image,
+                                      random_hflip, random_scale)
+
+
+class SyntheticTrainDataset:
+    """Constant zero images / ones labels (train_datasets.py:821-854)."""
+
+    def __init__(self, seq_len: int = 5, hw=(465, 465), length: int = 3000):
+        self.seq_len = seq_len
+        self.hw = hw
+        self.length = length
+
+    def __len__(self):
+        return self.length
+
+    def sample_clip(self, rng: np.random.RandomState):
+        h, w = self.hw
+        imgs = np.zeros((self.seq_len, h, w, 3), np.float32)
+        labels = np.ones((self.seq_len, h, w), np.int32)
+        return imgs, labels, 1
+
+
+class VOSTrainDataset:
+    """Video clip sampler over a DAVIS/VOST-style directory layout
+    (train_datasets.py:236-599 VOSTrain)."""
+
+    def __init__(self, image_root: str, label_root: str, seq_names: List[str],
+                 seq_len: int = 15, rand_gap: int = 3, repeat: int = 1,
+                 rand_reverse: bool = True, crop_hw=(465, 465),
+                 ignore_thresh: float = 0.2, merge_prob: float = 0.2,
+                 ignore_in_merge: bool = True,
+                 short_edge: int = 480, min_scale: float = 0.7,
+                 max_scale: float = 1.3, flip_prob: float = 0.5):
+        self.image_root = image_root
+        self.label_root = label_root
+        self.seq_names = seq_names * repeat
+        self.seq_len = seq_len
+        self.rand_gap = rand_gap
+        self.rand_reverse = rand_reverse
+        self.crop_hw = crop_hw
+        self.ignore_thresh = ignore_thresh
+        self.merge_prob = merge_prob
+        self.ignore_in_merge = ignore_in_merge
+        self.short_edge = short_edge
+        self.min_scale = min_scale
+        self.max_scale = max_scale
+        self.flip_prob = flip_prob
+        self._frames_cache: Dict[str, List[str]] = {}
+
+    def __len__(self):
+        return len(self.seq_names)
+
+    def _frames(self, seq: str) -> List[str]:
+        if seq not in self._frames_cache:
+            self._frames_cache[seq] = sorted(
+                os.listdir(os.path.join(self.label_root, seq)))
+        return self._frames_cache[seq]
+
+    def _read(self, seq: str, label_name: str):
+        from PIL import Image
+        stem = os.path.splitext(label_name)[0]
+        img = None
+        for ext in (".jpg", ".png"):
+            p = os.path.join(self.image_root, seq, stem + ext)
+            if os.path.exists(p):
+                img = cv2.imread(p)[:, :, ::-1]
+                break
+        label = np.asarray(Image.open(
+            os.path.join(self.label_root, seq, label_name)), np.uint8)
+        return img, label
+
+    def _sample_indices(self, n: int, rng) -> List[int]:
+        """Ref + gap-sampled following frames, reflect-clamped
+        (train_datasets.py:345-409)."""
+        ref = rng.randint(0, n)
+        idxs = [ref]
+        cur = ref
+        for _ in range(self.seq_len - 1):
+            gap = rng.randint(1, self.rand_gap + 1)
+            cur = cur + gap
+            # reflect padding at the sequence end (train_datasets.py:392-409)
+            if cur >= n:
+                cur = (2 * (n - 1) - cur)
+                cur = max(min(cur, n - 1), 0)
+            idxs.append(cur)
+        return idxs
+
+    def _sample_raw_clip(self, rng) -> Tuple[List[np.ndarray],
+                                             List[np.ndarray]]:
+        for _ in range(5):  # retry sequences with no usable reference
+            seq = self.seq_names[rng.randint(0, len(self.seq_names))]
+            frames = self._frames(seq)
+            if len(frames) == 0:
+                continue
+            idxs = self._sample_indices(len(frames), rng)
+            if self.rand_reverse and rng.rand() < 0.5:
+                idxs = idxs[::-1]
+            imgs, labels = [], []
+            for i in idxs:
+                im, lb = self._read(seq, frames[i])
+                imgs.append(im)
+                labels.append(lb)
+            ref = labels[0]
+            fg = ((ref > 0) & (ref != 255)).sum()
+            ign = (ref == 255).mean()
+            if fg > 0 and ign <= self.ignore_thresh:
+                return imgs, labels
+        return imgs, labels  # last resort
+
+    def _augment(self, imgs, labels, rng):
+        imgs, labels = random_scale(imgs, labels, rng, self.short_edge,
+                                    self.min_scale, self.max_scale)
+        imgs, labels, obj_num = balanced_random_crop(
+            imgs, labels, rng, self.crop_hw, ignore_thresh=self.ignore_thresh)
+        imgs, labels = random_hflip(imgs, labels, rng, self.flip_prob)
+        return imgs, labels, obj_num
+
+    def sample_clip(self, rng: np.random.RandomState):
+        imgs, labels = self._sample_raw_clip(rng)
+        imgs, labels, obj_num = self._augment(imgs, labels, rng)
+        if rng.rand() < self.merge_prob:
+            imgs2, labels2 = self._sample_raw_clip(rng)
+            imgs2, labels2, obj2 = self._augment(imgs2, labels2, rng)
+            imgs, labels, obj_num = _dynamic_merge(
+                imgs, labels, obj_num, imgs2, labels2, obj2,
+                self.ignore_in_merge)
+        imgs = np.stack([normalize_image(im.astype(np.uint8)) for im in imgs])
+        labels = np.stack(labels).astype(np.int32)
+        return imgs, labels, obj_num
+
+
+def _dynamic_merge(imgs1, labels1, n1, imgs2, labels2, n2,
+                   ignore_in_merge: bool):
+    """Composite clip 2's objects over clip 1 (train_datasets.py:28-89):
+    clip-2 foreground overwrites pixels; its ids shift by n1; ignore regions
+    union when enabled."""
+    out_imgs, out_labels = [], []
+    for im1, lb1, im2, lb2 in zip(imgs1, labels1, imgs2, labels2):
+        fg2 = (lb2 > 0) & (lb2 != 255)
+        img = im1.copy()
+        img[fg2] = im2[fg2]
+        lab = lb1.copy()
+        lab[fg2] = (lb2[fg2] + n1).astype(lb1.dtype)
+        if ignore_in_merge:
+            lab[(lb1 == 255) | (lb2 == 255)] = 255
+        out_imgs.append(img)
+        out_labels.append(lab)
+    return out_imgs, out_labels, n1 + n2
+
+
+def build_train_dataset(cfg, data_root: Optional[str] = None):
+    """Dataset dispatch (trainer.py:282-395)."""
+    root = data_root or cfg.dir_data
+    datasets = []
+    for name in cfg.datasets:
+        if name == "test":
+            datasets.append(SyntheticTrainDataset(
+                seq_len=cfg.data_seq_len, hw=cfg.data_randomcrop))
+        elif name == "vost":
+            base = os.path.join(root, "VOST")
+            with open(os.path.join(base, "ImageSets", "train.txt")) as f:
+                seqs = [s.strip() for s in f if s.strip()]
+            datasets.append(VOSTrainDataset(
+                os.path.join(base, "JPEGImages_10fps"),
+                os.path.join(base, "Annotations"), seqs,
+                seq_len=cfg.data_seq_len, rand_gap=cfg.data_random_gap_vost,
+                repeat=cfg.data_vost_repeat, crop_hw=cfg.data_randomcrop,
+                ignore_thresh=cfg.data_vost_ignore_thresh,
+                merge_prob=cfg.data_dynamic_merge_prob,
+                ignore_in_merge=cfg.ignore_in_merge,
+                short_edge=cfg.data_short_edge_len,
+                min_scale=cfg.data_min_scale_factor,
+                max_scale=cfg.data_max_scale_factor,
+                flip_prob=cfg.data_randomflip))
+        elif name in ("davis2017", "davis"):
+            base = os.path.join(root, "DAVIS")
+            with open(os.path.join(base, "ImageSets", "2017",
+                                   "train.txt")) as f:
+                seqs = [s.strip() for s in f if s.strip()]
+            datasets.append(VOSTrainDataset(
+                os.path.join(base, "JPEGImages", "480p"),
+                os.path.join(base, "Annotations", "480p"), seqs,
+                seq_len=cfg.data_seq_len, rand_gap=cfg.data_random_gap_davis,
+                repeat=cfg.data_davis_repeat, crop_hw=cfg.data_randomcrop,
+                merge_prob=cfg.data_dynamic_merge_prob,
+                short_edge=cfg.data_short_edge_len,
+                min_scale=cfg.data_min_scale_factor,
+                max_scale=cfg.data_max_scale_factor,
+                flip_prob=cfg.data_randomflip))
+        else:
+            raise NotImplementedError(f"train dataset {name!r}")
+    return ConcatClipDataset(datasets)
+
+
+class ConcatClipDataset:
+    def __init__(self, datasets):
+        self.datasets = datasets
+
+    def __len__(self):
+        return sum(len(d) for d in self.datasets)
+
+    def sample_clip(self, rng):
+        weights = np.array([len(d) for d in self.datasets], np.float64)
+        i = rng.choice(len(self.datasets), p=weights / weights.sum())
+        return self.datasets[i].sample_clip(rng)
+
+
+class BatchLoader:
+    """Background-prefetching batch iterator (replaces DataLoader workers,
+    trainer.py:373-395). max_obj caps per-clip ids to the model id space."""
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0,
+                 max_obj: int = 10, prefetch: int = 4,
+                 num_threads: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_obj = max_obj
+        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(target=self._worker, args=(seed + 31 * i,),
+                             daemon=True)
+            for i in range(num_threads)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _make_batch(self, rng):
+        imgs, labels, obj_nums = [], [], []
+        for _ in range(self.batch_size):
+            im, lb, n = self.dataset.sample_clip(rng)
+            lb = np.where((lb > self.max_obj) & (lb != 255),
+                          0, lb).astype(np.int32)
+            imgs.append(im)
+            labels.append(lb)
+            obj_nums.append(min(n, self.max_obj))
+        return {"imgs": np.stack(imgs), "labels": np.stack(labels),
+                "obj_nums": np.asarray(obj_nums, np.int32)}
+
+    def _worker(self, seed):
+        rng = np.random.RandomState(seed)
+        while not self._stop.is_set():
+            batch = self._make_batch(rng)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()

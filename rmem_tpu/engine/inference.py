@@ -1,0 +1,246 @@
+"""Per-video inference engine: pure jitted step functions over fixed shapes.
+
+Replaces the reference's stateful AOTEngine/AOTInferEngine
+(aot_plus/networks/engines/aot_engine.py:18-726) with three pure functions
+over an explicit `EngineState` pytree:
+
+    add_reference(params, img, mask)          (aot_engine.py:241-325)
+    propagate(params, state, img) -> logits   (aot_engine.py:398-436)
+    update_memory(params, state, label)       (aot_engine.py:327-369)
+
+All shapes are static (fixed bank capacity, fixed image size per engine), so
+one compilation serves an entire dataset split; state buffers are donated so
+the bank updates in place in HBM. Multi-object videos beyond
+`model_max_obj_num` run as a leading group axis (the reference's list of
+sub-engines, aot_engine.py:571-726, becomes a batch dimension).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from rmem_tpu.config import Config
+from rmem_tpu.memory import (MemoryBank, bank_append, evict_if_full,
+                             init_bank, valid_slot_mask)
+from rmem_tpu.ops.masks import apply_ignore_token, mask_unused_ids, one_hot_mask
+from rmem_tpu.ops.resize import resize_bilinear
+from rmem_tpu.ops.temporal_pe import interpolate_temporal_pe
+
+
+@flax.struct.dataclass
+class EngineState:
+    """Carry state for one video (one engine group batch)."""
+
+    bank: MemoryBank
+    short_k: jnp.ndarray                    # [L, B, HW, Ck]
+    short_v: jnp.ndarray                    # [L, B, HW, Cv]
+    short_id_v: Optional[jnp.ndarray]       # [L, B, HW, Cv] (DeAOT)
+    mems: Dict[str, jnp.ndarray]            # pending emissions from propagate
+    record: Optional[jnp.ndarray]           # [B, HW, S] slot attention mass
+    logits4x: jnp.ndarray                   # [B, H/4, W/4, obj+1] masked
+    frame_step: jnp.ndarray                 # int32
+    last_mem_step: jnp.ndarray              # int32
+    gap: jnp.ndarray                        # int32 long-term write cadence
+    obj_nums: jnp.ndarray                   # [B] int32
+
+
+def separate_mask(label: jnp.ndarray, num_groups: int,
+                  max_obj: int) -> jnp.ndarray:
+    """[B?,H,W] global label -> [G,H,W] per-group labels in [0, max_obj]
+    (aot_engine.py:604-617)."""
+    if label.ndim == 3:
+        label = label[0]
+    outs = []
+    for g in range(num_groups):
+        start = g * max_obj + 1
+        end = (g + 1) * max_obj
+        fg = (label >= start) & (label <= end)
+        outs.append(jnp.where(fg, label - start + 1, 0).astype(label.dtype))
+    return jnp.stack(outs)
+
+
+def soft_logit_aggregation(logits: jnp.ndarray, max_obj: int) -> jnp.ndarray:
+    """[G,H,W,obj+1] group logits -> [H,W, 1+G*obj] merged logits
+    (aot_engine.py:650-673): bg prob is the product of per-group bg probs."""
+    if logits.shape[0] == 1:
+        return logits[0]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    bg = jnp.prod(probs[..., 0], axis=0)[..., None]
+    fg = jnp.concatenate([probs[g, ..., 1:1 + max_obj]
+                          for g in range(probs.shape[0])], axis=-1)
+    merged = jnp.clip(jnp.concatenate([bg, fg], axis=-1), 1e-5, 1 - 1e-5)
+    return jnp.log(merged) - jnp.log1p(-merged)  # torch.logit
+
+
+class InferenceEngine:
+    """Streaming per-frame driver. The host loop feeds frames; device state
+    stays resident. One compilation per (image size, group count)."""
+
+    def __init__(self, model, params, cfg: Config, need_record: bool = True,
+                 donate: bool = True):
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        self.need_record = need_record and not cfg.no_long_memory
+        donate_args = (1,) if donate else ()
+        self._add_ref = jax.jit(self._add_reference_impl)
+        self._propagate = jax.jit(self._propagate_impl,
+                                  donate_argnums=donate_args)
+        self._update = jax.jit(self._update_impl, donate_argnums=donate_args)
+
+    # -- helpers -------------------------------------------------------
+    def _apply(self, params, method, *args, **kw):
+        return self.model.apply({"params": params}, *args,
+                                method=method, **kw)
+
+    def _id_emb(self, params, label, shuffle=None):
+        oh, ig = one_hot_mask(label, self.cfg.model_max_obj_num)
+        full = apply_ignore_token(oh, ig, shuffle) \
+            if self.cfg.model_ignore_token else oh
+        return self._apply(params, type(self.model).get_id_emb, full)
+
+    def _bank_tuple(self, bank: MemoryBank):
+        if bank.id_v is not None:
+            return (bank.k, bank.v, bank.id_v)
+        return (bank.k, bank.v)
+
+    def _short_tuple(self, state: EngineState):
+        if state.short_id_v is not None:
+            return (state.short_k, state.short_v, state.short_id_v)
+        return (state.short_k, state.short_v)
+
+    def _decode(self, params, intermediates, xs, obj_nums):
+        logits = self._apply(params, type(self.model).decode_id_logits,
+                             intermediates, xs)
+        return mask_unused_ids(logits, obj_nums)
+
+    # -- add_reference (aot_engine.py:241-325) -------------------------
+    def _add_reference_impl(self, params, img, label, obj_nums, frame_step,
+                            gap):
+        cfg = self.cfg
+        xs = self._apply(params, type(self.model).encode_image, img)
+        b, eh, ew, c = xs[-1].shape
+        hw = eh * ew
+        feat = xs[-1].reshape(b, hw, c)
+        id_emb = self._id_emb(params, label)
+        self_pos = self._apply(params, type(self.model).get_pos_emb, eh, ew)
+        cur_pe, mem_pe = None, None
+        if cfg.use_temporal_positional_embedding:
+            cur_pe, mem = self._apply(params, type(self.model).temporal_pe)
+            mem_pe = mem[0:1]  # T=1: PE slot 0 (transformer.py:603-604)
+
+        intermediates, mems, _ = self._apply(
+            params, type(self.model).lstt_forward, feat, None, None, None,
+            id_emb, self_pos, cur_pe, mem_pe, (eh, ew))
+        lk, lv, liv, sk, sv, siv = self._apply(
+            params, type(self.model).write_memories, mems, id_emb)
+
+        bank = init_bank(
+            num_layers=lk.shape[0], capacity=cfg.max_mem_slots, batch=b,
+            hw=hw, ck=lk.shape[-1], cv=lv.shape[-1],
+            cid=(liv.shape[-1] if liv is not None else None),
+            dtype=lk.dtype)
+        bank = bank_append(bank, lk, lv, liv)
+
+        logits = self._decode(params, intermediates, xs, obj_nums)
+        state = EngineState(
+            bank=bank, short_k=sk, short_v=sv, short_id_v=siv,
+            mems=mems, record=None, logits4x=logits,
+            frame_step=jnp.asarray(frame_step, jnp.int32),
+            last_mem_step=jnp.asarray(frame_step, jnp.int32),
+            gap=jnp.asarray(gap, jnp.int32),
+            obj_nums=jnp.asarray(obj_nums, jnp.int32),
+        )
+        return state, logits
+
+    # -- propagate (aot_engine.py:398-436) ------------------------------
+    def _propagate_impl(self, params, state: EngineState, img):
+        xs = self._apply(params, type(self.model).encode_image, img)
+        b, eh, ew, c = xs[-1].shape
+        hw = eh * ew
+        feat = xs[-1].reshape(b, hw, c)
+        self_pos = self._apply(params, type(self.model).get_pos_emb, eh, ew)
+        cur_pe, slot_pe = None, None
+        if self.cfg.use_temporal_positional_embedding:
+            cur_pe, mem = self._apply(params, type(self.model).temporal_pe)
+            slot_pe = interpolate_temporal_pe(mem, state.bank.count,
+                                              state.bank.capacity)
+        intermediates, mems, record = self._apply(
+            params, type(self.model).lstt_forward, feat,
+            self._bank_tuple(state.bank), valid_slot_mask(state.bank),
+            self._short_tuple(state), None, self_pos, cur_pe, slot_pe,
+            (eh, ew), self.need_record)
+        logits = self._decode(params, intermediates, xs, state.obj_nums)
+        state = state.replace(frame_step=state.frame_step + 1, mems=mems,
+                              record=record, logits4x=logits)
+        return state, logits
+
+    # -- update_memory (aot_engine.py:327-369) ---------------------------
+    def _update_impl(self, params, state: EngineState, label):
+        cfg = self.cfg
+        id_emb = self._id_emb(params, label)
+        lk, lv, liv, sk, sv, siv = self._apply(
+            params, type(self.model).write_memories, state.mems, id_emb)
+
+        do_long = jnp.logical_and(
+            jnp.asarray(not cfg.no_long_memory),
+            state.frame_step - state.last_mem_step >= state.gap)
+
+        appended = bank_append(state.bank, lk, lv, liv)
+        if self.need_record and state.record is not None:
+            # fg prob at encoder resolution (aot_engine.py:355-362)
+            b_, hw = lk.shape[1], lk.shape[2]
+            up = resize_bilinear(state.logits4x, self._enc_hw(state),
+                                 cfg.model_align_corners)
+            prob = jax.nn.softmax(up.astype(jnp.float32), axis=-1)
+            fg = (1.0 - prob[..., 0]).reshape(b_, hw)
+            evicted = evict_if_full(appended, cfg.former_mem_len,
+                                    cfg.latter_mem_len, state.record, fg,
+                                    use_attn_weight=True)
+        else:
+            evicted = evict_if_full(appended, cfg.former_mem_len,
+                                    cfg.latter_mem_len,
+                                    use_attn_weight=False)
+
+        new_bank = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(do_long, a, b), evicted, state.bank)
+        return state.replace(
+            bank=new_bank,
+            short_k=sk, short_v=sv, short_id_v=siv,
+            last_mem_step=jnp.where(do_long, state.frame_step,
+                                    state.last_mem_step),
+        )
+
+    def _enc_hw(self, state: EngineState) -> Tuple[int, int]:
+        """16x grid dims from the (static) 4x logits shape."""
+        hw = state.short_k.shape[2]
+        h4, w4 = state.logits4x.shape[1:3]
+        if self.cfg.model_align_corners:
+            eh, ew = (h4 - 1) // 4 + 1, (w4 - 1) // 4 + 1
+        else:
+            eh, ew = h4 // 4, w4 // 4
+        assert eh * ew == hw, (eh, ew, hw)
+        return (eh, ew)
+
+    # -- public API ------------------------------------------------------
+    def add_reference(self, img, label, obj_nums, frame_step=0,
+                      gap: int = 5) -> Tuple[EngineState, jnp.ndarray]:
+        """img [B,H,W,3] float; label [B,H,W] int; obj_nums [B]."""
+        return self._add_ref(self.params, img, label,
+                             jnp.asarray(obj_nums, jnp.int32),
+                             jnp.asarray(frame_step, jnp.int32),
+                             jnp.asarray(gap, jnp.int32))
+
+    def propagate(self, state: EngineState, img):
+        return self._propagate(self.params, state, img)
+
+    def update_memory(self, state: EngineState, label):
+        return self._update(self.params, state, label)
+
+    def predict_logits_at(self, logits4x, out_hw):
+        """Upsample 4x logits to `out_hw` (aot_engine.py:467-483)."""
+        return resize_bilinear(logits4x, out_hw, self.cfg.model_align_corners)

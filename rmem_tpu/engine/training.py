@@ -1,0 +1,174 @@
+"""Training engine: the per-clip sequential frame loop as a `lax.scan`.
+
+Reference: aot_plus/networks/engines/aot_engine.py:40-128 (AOTEngine.forward)
+and managers/trainer.py:479-739. One training step:
+
+1. offline-encode all T frames in one batched encoder pass
+   (aot_engine.py:174-196),
+2. reference frame 0 with ground-truth identity embedding (id-shuffle
+   augmentation, aot_engine.py:218-232),
+3. scan over frames 1..T-1: propagate, loss, then write memory for that frame
+   from its GT one-hot — or, in the `use_prev_pred` curriculum, from the hard
+   argmax prediction with the identity gradient stopped
+   (aot_engine.py:53,91-106,229-231,327-336),
+4. loss = aux_weight(step) * ref_frame_loss + mean(frame losses)
+   (aot_engine.py:108-113).
+
+The frame scan is rematerialized (jax.checkpoint) so the backward pass
+re-runs the per-frame LSTT instead of storing T activation sets — the TPU
+counterpart of the reference fitting seq_len 15-17 via AMP.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rmem_tpu.config import Config
+from rmem_tpu.memory import (bank_append, evict_if_full, init_bank,
+                             valid_slot_mask)
+from rmem_tpu.ops.losses import segmentation_loss
+from rmem_tpu.ops.masks import (apply_ignore_token, mask_unused_ids,
+                                one_hot_mask, unshuffle_logits)
+from rmem_tpu.ops.resize import resize_bilinear
+from rmem_tpu.ops.temporal_pe import interpolate_temporal_pe
+
+
+def _flatten_frames(x):
+    """[B,T,...] -> [B*T,...]"""
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
+                  use_prev_pred, cfg: Config, dp_rng=None):
+    """Clip loss. imgs [B,T,H,W,3]; labels [B,T,H,W] int (255=ignore);
+    obj_nums [B]; shuffle [B,obj+1,obj+1] or None; use_prev_pred / step are
+    traced. Returns (loss, metrics)."""
+    apply = lambda method, *a, **k: model.apply({"params": params}, *a,
+                                                method=method, **k)
+    b, t = imgs.shape[:2]
+    hw_in = imgs.shape[2:4]
+    deterministic = dp_rng is None
+
+    # 1. offline encode all frames at once (aot_engine.py:174-196)
+    xs_flat = apply(type(model).encode_image, _flatten_frames(imgs))
+    n_levels = len(xs_flat)
+    xs_bt = [x.reshape((b, t) + x.shape[1:]) for x in xs_flat]
+
+    eh, ew = xs_bt[-1].shape[2:4]
+    hw = eh * ew
+    c = xs_bt[-1].shape[-1]
+    self_pos = apply(type(model).get_pos_emb, eh, ew)
+    cur_pe = mem_pe_table = None
+    if cfg.use_temporal_positional_embedding:
+        cur_pe, mem_pe_table = apply(type(model).temporal_pe)
+
+    oh_flat, ig_flat = one_hot_mask(_flatten_frames(labels),
+                                    cfg.model_max_obj_num)
+    one_hots = oh_flat.reshape((b, t) + oh_flat.shape[1:])
+    ignores = ig_flat.reshape((b, t) + ig_flat.shape[1:])
+
+    def id_input_from(onehot, ignore):
+        """Shuffled (obj+2)-channel id-bank input (aot_engine.py:208-224)."""
+        if cfg.model_ignore_token:
+            return apply_ignore_token(onehot, ignore, shuffle)
+        if shuffle is not None:
+            return jnp.einsum("bhwo,bot->bhwt", onehot, shuffle)
+        return onehot
+
+    def id_embed(id_input):
+        e = apply(type(model).get_id_emb, id_input)
+        # freeze_id during the curriculum (aot_engine.py:229-231)
+        return jnp.where(use_prev_pred, jax.lax.stop_gradient(e), e)
+
+    def decode(intermediates, xs, frame_label):
+        logits4 = apply(type(model).decode_id_logits, intermediates, xs)
+        if shuffle is not None:
+            logits4 = unshuffle_logits(logits4, shuffle)
+        logits4 = mask_unused_ids(logits4, obj_nums)
+        logits = resize_bilinear(logits4, hw_in, cfg.model_align_corners)
+        loss = segmentation_loss(
+            logits, frame_label, obj_nums, step,
+            cfg.train_top_k_percent_pixels,
+            cfg.train_hard_mining_ratio * cfg.train_total_steps)
+        return logits, loss
+
+    # 2. reference frame (aot_engine.py:241-325)
+    xs0 = tuple(x[:, 0] for x in xs_bt)
+    ref_id_emb = id_embed(id_input_from(one_hots[:, 0], ignores[:, 0]))
+    mem_pe1 = mem_pe_table[0:1] if mem_pe_table is not None else None
+    inter0, mems0, _ = apply(type(model).lstt_forward,
+                             xs0[-1].reshape(b, hw, c), None, None, None,
+                             ref_id_emb, self_pos, cur_pe, mem_pe1, (eh, ew),
+                             False, deterministic, dp_rng)
+    lk, lv, liv, sk, sv, siv = apply(type(model).write_memories, mems0,
+                                     ref_id_emb)
+    has_id = liv is not None
+    bank = init_bank(lk.shape[0], cfg.max_mem_slots, b, hw, lk.shape[-1],
+                     lv.shape[-1], liv.shape[-1] if liv is not None else None,
+                     dtype=lk.dtype)
+    bank = bank_append(bank, lk, lv, liv)
+    _, aux_loss = decode(inter0, xs0, labels[:, 0])
+
+    # 3. frame scan (aot_engine.py:84-106)
+    def frame_body(carry, data):
+        bank, short, last_mem_step = carry
+        xs_f, label_f, onehot_f, ignore_f, fidx = data
+        feat = xs_f[-1].reshape(b, hw, c)
+        slot_pe = None
+        if mem_pe_table is not None:
+            slot_pe = interpolate_temporal_pe(mem_pe_table, bank.count,
+                                              bank.capacity)
+        bank_tuple = (bank.k, bank.v, bank.id_v) if has_id \
+            else (bank.k, bank.v)
+        inter, mems, _ = apply(type(model).lstt_forward, feat, bank_tuple,
+                               valid_slot_mask(bank), short, None, self_pos,
+                               cur_pe, slot_pe, (eh, ew), False,
+                               deterministic, dp_rng)
+        logits_full, loss = decode(inter, xs_f, label_f)
+
+        # memory write for THIS frame (aot_engine.py:91-99,327-336):
+        # GT identity, or the hard argmax prediction under the curriculum
+        pred_label = jnp.argmax(logits_full, axis=-1).astype(jnp.int32)
+        pred_oh, _ = one_hot_mask(pred_label, cfg.model_max_obj_num)
+        pred_in = id_input_from(pred_oh, jnp.zeros_like(ignore_f))
+        gt_in = id_input_from(onehot_f, ignore_f)
+        id_emb = id_embed(jnp.where(use_prev_pred, pred_in, gt_in))
+
+        lk, lv, liv_, sk, sv, siv_ = apply(type(model).write_memories, mems,
+                                           id_emb)
+        do_long = fidx - last_mem_step >= cfg.train_long_term_mem_gap
+        if cfg.no_long_memory:
+            do_long = jnp.asarray(False)
+        appended = bank_append(bank, lk, lv, liv_)
+        evicted = evict_if_full(appended, cfg.former_mem_len,
+                                cfg.latter_mem_len, use_attn_weight=False)
+        new_bank = jax.tree_util.tree_map(
+            lambda a_, b_: jnp.where(do_long, a_, b_), evicted, bank)
+        new_short = (sk, sv, siv_) if has_id else (sk, sv)
+        new_last = jnp.where(do_long, fidx, last_mem_step)
+        return (new_bank, new_short, new_last), loss
+
+    short0 = (sk, sv, siv) if has_id else (sk, sv)
+    xs_scan = tuple(jnp.swapaxes(x[:, 1:], 0, 1) for x in xs_bt)
+    scan_data = (xs_scan,
+                 jnp.swapaxes(labels[:, 1:], 0, 1),
+                 jnp.swapaxes(one_hots[:, 1:], 0, 1),
+                 jnp.swapaxes(ignores[:, 1:], 0, 1),
+                 jnp.arange(1, t, dtype=jnp.int32))
+    carry0 = (bank, short0, jnp.zeros((), jnp.int32))
+
+    body = jax.checkpoint(frame_body) if t > 2 else frame_body
+    _, losses = jax.lax.scan(body, carry0, scan_data)  # losses [T-1, B]
+
+    # 4. combine (aot_engine.py:108-113, _init_losses:145-146)
+    aux_step = cfg.train_total_steps * cfg.train_aux_loss_ratio + 1e-5
+    aux_w = cfg.train_aux_loss_weight * jnp.maximum(
+        aux_step - step, 0.0) / aux_step
+    pred_loss = losses.mean()
+    loss = aux_w * aux_loss.mean() + pred_loss
+    metrics = {"loss": loss, "aux_loss": aux_loss.mean(),
+               "pred_loss": pred_loss, "aux_weight": aux_w}
+    return loss, metrics

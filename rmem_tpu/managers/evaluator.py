@@ -1,0 +1,247 @@
+"""Evaluator: per-sequence VOS inference, multi-scale/flip, PNG outputs, FPS.
+
+Reference: aot_plus/networks/managers/evaluator.py:30-631. Per sequence:
+- adaptive long-term gap = max(round(num_frames/30), 5)
+  (evaluator.py:330-335),
+- frame 0 -> add_reference with the GT label nearest-resized to the input
+  size (evaluator.py:386-397),
+- frames t>0: propagate per (scale, flip) aug, upsample logits to the
+  original size, unflip, mean softmax across augs, argmax
+  (evaluator.py:430-441),
+- mid-video new objects: merge GT into the prediction and re-reference all
+  engines (evaluator.py:484-508),
+- update memory with the merged label nearest-resized per aug
+  (evaluator.py:509-523),
+- masks saved as palettized PNGs on a background thread, per-frame timing
+  excludes the PNG I/O (evaluator.py:525-587).
+
+Multi-object >10 runs as a group batch dim inside one engine state
+(replaces the reference's sub-engine list, aot_engine.py:571-726).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmem_tpu.config import Config
+from rmem_tpu.data.eval_datasets import build_eval_dataset
+from rmem_tpu.data.transforms import (normalize_image, resize_label,
+                                      resize_image, restrict_size)
+from rmem_tpu.engine import (InferenceEngine, separate_mask,
+                             soft_logit_aggregation)
+from rmem_tpu.models import build_vos_model, init_params
+from rmem_tpu.utils.image import AsyncMaskWriter
+
+
+@dataclass
+class _AugSpec:
+    scale: float
+    flip: bool
+
+
+@dataclass
+class SequenceResult:
+    name: str
+    num_frames: int
+    seconds: float
+
+    @property
+    def fps(self) -> float:
+        return (self.num_frames - 1) / max(self.seconds, 1e-9)
+
+
+class Evaluator:
+    def __init__(self, cfg: Config, params=None, data_root: str = None,
+                 output_root: str = None, log=print):
+        self.cfg = cfg
+        self.log = log
+        self.model = build_vos_model(cfg.model_vos, cfg)
+        if params is None:
+            if cfg.test_ckpt_path and cfg.test_ckpt_path != "test":
+                params = self._load_params(cfg.test_ckpt_path)
+            else:  # synthetic/no-checkpoint path (evaluator.py:62-65)
+                params = init_params(self.model, jax.random.PRNGKey(42))
+        self.params = params
+        self.engine = InferenceEngine(self.model, params, cfg, donate=False)
+        self.dataset = build_eval_dataset(cfg, data_root)
+        self.output_root = output_root or os.path.join(
+            cfg.dir_result, "eval", cfg.test_dataset)
+        self.augs = [_AugSpec(s, f) for s in cfg.test_multiscale
+                     for f in ((False, True) if cfg.test_flip
+                               else (False,))]
+        self.writer = AsyncMaskWriter()
+
+    def _load_params(self, path: str):
+        from rmem_tpu.utils.checkpoint import load_pretrained, load_pytree
+        params = init_params(self.model, jax.random.PRNGKey(0))
+        if path.endswith(".pth"):
+            params, skipped, _ = load_pretrained(
+                params, path, self.cfg.model_vos, self.cfg.id_channels)
+            if skipped:
+                self.log(f"checkpoint merge skipped {len(skipped)} entries")
+            return params
+        return load_pytree(params, path)
+
+    # ------------------------------------------------------------------
+    def _prep_frame(self, image: np.ndarray, aug: _AugSpec):
+        h, w = image.shape[:2]
+        hw = restrict_size(h, w, self.cfg.test_max_size,
+                           self.cfg.test_min_size, aug.scale,
+                           self.cfg.model_align_corners)
+        img = resize_image(image.astype(np.uint8), hw)
+        img = normalize_image(img)
+        if aug.flip:
+            img = img[:, ::-1].copy()
+        return jnp.asarray(img[None])
+
+    def _prep_label(self, label: np.ndarray, hw, flip: bool):
+        lab = resize_label(label, hw)
+        if flip:
+            lab = lab[:, ::-1].copy()
+        return lab
+
+    def evaluate(self, max_seqs: Optional[int] = None,
+                 max_frames: Optional[int] = None) -> Dict:
+        results: List[SequenceResult] = []
+        for idx in range(len(self.dataset)):
+            if max_seqs is not None and idx >= max_seqs:
+                break
+            seq = self.dataset.sequence(idx)
+            res = self._eval_sequence(seq, max_frames)
+            results.append(res)
+            total_frames = sum(r.num_frames - 1 for r in results)
+            total_time = sum(r.seconds for r in results)
+            self.log(f"Seq {res.name} - FPS: {res.fps:.2f}. All-Frame FPS: "
+                     f"{total_frames / max(total_time, 1e-9):.2f}")
+        self.writer.join()
+        total_frames = sum(r.num_frames - 1 for r in results)
+        total_time = sum(r.seconds for r in results)
+        return {
+            "per_seq_fps": {r.name: r.fps for r in results},
+            "all_frame_fps": total_frames / max(total_time, 1e-9),
+            "all_seq_fps": float(np.mean([r.fps for r in results]))
+            if results else 0.0,
+        }
+
+    # ------------------------------------------------------------------
+    def _eval_sequence(self, seq, max_frames: Optional[int] = None
+                       ) -> SequenceResult:
+        cfg = self.cfg
+        num_frames = len(seq)
+        gap = max(int(round(num_frames / 30)), 5)
+        if cfg.no_memory_gap:
+            gap = int(round(gap / 4))
+
+        states = [None] * len(self.augs)
+        groups = 1
+        obj_idx = None
+        seconds = 0.0
+        n_processed = 0
+
+        for frame_idx, frame in enumerate(seq):
+            if max_frames is not None and frame_idx >= max_frames:
+                break
+            n_processed += 1
+            ori_h, ori_w = frame.image.shape[:2]
+            imgs = [self._prep_frame(frame.image, aug) for aug in self.augs]
+            obj_idx = frame.obj_idx
+
+            if frame_idx == 0:
+                groups = max(int(np.ceil(frame.obj_num
+                                         / cfg.model_max_obj_num)), 1)
+                for ai, aug in enumerate(self.augs):
+                    hw = imgs[ai].shape[1:3]
+                    lab = self._prep_label(frame.label, hw, aug.flip)
+                    glabels = separate_mask(jnp.asarray(lab[None]), groups,
+                                            cfg.model_max_obj_num)
+                    gimg = jnp.tile(imgs[ai], (groups, 1, 1, 1))
+                    states[ai], _ = self.engine.add_reference(
+                        gimg, glabels,
+                        self._group_obj_nums(frame.obj_num, groups),
+                        frame_step=0, gap=gap)
+                pred_label = np.asarray(frame.label, np.uint8)
+                self._save(pred_label, seq.name, frame.name, ori_h, ori_w,
+                           obj_idx)
+                continue
+
+            t0 = time.perf_counter()
+            agg_probs = []
+            for ai, aug in enumerate(self.augs):
+                gimg = jnp.tile(imgs[ai], (groups, 1, 1, 1))
+                states[ai], logits4 = self.engine.propagate(states[ai], gimg)
+                logits = self.engine.predict_logits_at(logits4,
+                                                       (ori_h, ori_w))
+                merged = soft_logit_aggregation(logits,
+                                                cfg.model_max_obj_num)
+                if aug.flip:
+                    merged = merged[:, ::-1]
+                agg_probs.append(jax.nn.softmax(merged, axis=-1))
+            mean_prob = jnp.mean(jnp.stack(agg_probs), axis=0)
+            pred_label_dev = jnp.argmax(mean_prob, axis=-1).astype(jnp.int32)
+            pred_label = np.asarray(pred_label_dev, np.uint8)
+
+            # mid-video new objects (evaluator.py:484-508)
+            new_objs = (frame.label is not None
+                        and frame.obj_num > int(pred_label.max()))
+            if frame.label is not None:
+                keep = frame.label == 0
+                merged_label = np.where(keep, pred_label, frame.label)
+            else:
+                merged_label = pred_label
+
+            if new_objs:
+                new_obj_num = int(merged_label.max())
+                groups = max(int(np.ceil(new_obj_num
+                                         / cfg.model_max_obj_num)), 1)
+                for ai, aug in enumerate(self.augs):
+                    hw = imgs[ai].shape[1:3]
+                    lab = self._prep_label(merged_label, hw, aug.flip)
+                    glabels = separate_mask(jnp.asarray(lab[None]), groups,
+                                            cfg.model_max_obj_num)
+                    gimg = jnp.tile(imgs[ai], (groups, 1, 1, 1))
+                    states[ai], _ = self.engine.add_reference(
+                        gimg, glabels,
+                        self._group_obj_nums(new_obj_num, groups),
+                        frame_step=frame_idx, gap=gap)
+                pred_label = merged_label.astype(np.uint8)
+            else:
+                for ai, aug in enumerate(self.augs):
+                    hw = imgs[ai].shape[1:3]
+                    lab = self._prep_label(merged_label.astype(np.uint8),
+                                           hw, aug.flip)
+                    glabels = separate_mask(jnp.asarray(lab[None]), groups,
+                                            cfg.model_max_obj_num)
+                    states[ai] = self.engine.update_memory(states[ai],
+                                                           glabels)
+                pred_label = merged_label.astype(np.uint8)
+
+            jax.block_until_ready(states[0].bank.count)
+            seconds += time.perf_counter() - t0
+            self._save(pred_label, seq.name, frame.name, ori_h, ori_w,
+                       obj_idx)
+
+        return SequenceResult(seq.name, n_processed, seconds)
+
+    @staticmethod
+    def _group_obj_nums(obj_num: int, groups: int) -> List[int]:
+        out = []
+        rest = obj_num
+        for _ in range(groups):
+            out.append(min(rest, 10))
+            rest -= out[-1]
+        return out
+
+    def _save(self, label: np.ndarray, seq_name: str, frame_name: str,
+              h: int, w: int, obj_idx):
+        if label.shape != (h, w):
+            label = resize_label(label, (h, w))
+        path = os.path.join(self.output_root, seq_name,
+                            os.path.splitext(frame_name)[0] + ".png")
+        self.writer.save(label, path, squeeze_idx=obj_idx)

@@ -1,0 +1,147 @@
+"""AOT model assembly: encoder + projector + LSTT + FPN + identity bank.
+
+Reference: aot_plus/networks/models/aot.py:12-205. Engine-facing methods are
+pure functions of (params, inputs); per-video memory lives in the engine
+state, not the module.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from rmem_tpu.config import Config
+from rmem_tpu.models.decoders import build_decoder
+from rmem_tpu.models.encoders import build_encoder
+from rmem_tpu.models.lstt import LSTT
+from rmem_tpu.ops.layers import conv, layer_norm
+from rmem_tpu.ops.position import sine_position_embedding
+
+
+def _trunc05(key, shape, dtype=jnp.float32):
+    return nn.initializers.truncated_normal(stddev=0.05)(key, shape, dtype)
+
+
+class AOT(nn.Module):
+    cfg: Config
+
+    # -- model pieces (models/aot.py:19-103) --
+    def setup(self):
+        cfg = self.cfg
+        c = cfg.model_encoder_embedding_dim
+        self.encoder = build_encoder(cfg.model_encoder)
+        self.encoder_projector = conv(c, 1, name="encoder_projector")
+        self.lstt = self._build_lstt()
+        self.decoder = build_decoder(
+            "fpn",
+            in_dim=self._decoder_indim(),
+            out_dim=cfg.model_max_obj_num + 1,
+            decode_intermediate_input=cfg.model_decoder_intermediate_lstt,
+            hidden_dim=c,
+            shortcut_dims=cfg.model_encoder_dim,
+            align_corners=cfg.model_align_corners,
+        )
+        # 17x17/s16 conv embedding the one-hot (+ignore) mask (aot.py:64-83)
+        k = 17 if cfg.model_align_corners else 16
+        pad = 8 if cfg.model_align_corners else 0
+        self.patch_wise_id_bank = nn.Conv(
+            c, (k, k), strides=(16, 16), padding=((pad, pad), (pad, pad)),
+            kernel_init=nn.initializers.orthogonal(scale=k ** -2),
+            name="patch_wise_id_bank")
+        if cfg.use_temporal_positional_embedding:
+            pe_dim = self._temporal_pe_dim()
+            slots = 4 if cfg.temporal_positional_embedding_slot_4 else 2
+            self.cur_pos_emb = self.param("cur_pos_emb", _trunc05, (1, pe_dim))
+            self.mem_pos_emb = self.param("mem_pos_emb", _trunc05,
+                                          (slots, pe_dim))
+        self._extra_setup()
+
+    def _build_lstt(self):
+        cfg = self.cfg
+        return LSTT(num_layers=cfg.model_lstt_num,
+                    d_model=cfg.model_encoder_embedding_dim,
+                    self_heads=cfg.model_self_heads,
+                    att_heads=cfg.model_att_heads,
+                    linear_q=cfg.model_linear_q,
+                    droppath=cfg.train_lstt_droppath,
+                    intermediate_norm=cfg.model_decoder_intermediate_lstt,
+                    name="lstt")
+
+    def _decoder_indim(self) -> int:
+        cfg = self.cfg
+        if cfg.model_decoder_intermediate_lstt:
+            return cfg.model_encoder_embedding_dim * (cfg.model_lstt_num + 1)
+        return cfg.model_encoder_embedding_dim
+
+    def _temporal_pe_dim(self) -> int:
+        return self.cfg.model_encoder_embedding_dim
+
+    def _extra_setup(self):
+        pass
+
+    @property
+    def has_id_values(self) -> bool:
+        """DeAOT stores a separate identity-value plane in the bank."""
+        return False
+
+    # ------------------------------------------------------------------
+    # engine-facing methods (invoked via model.apply(..., method=...))
+    # ------------------------------------------------------------------
+
+    def encode_image(self, img: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        """img [B,H,W,3] -> pyramid [4x, 8x, 16x, 16x-projected]
+        (models/aot.py:116-134)."""
+        xs = list(self.encoder(img))
+        xs[-1] = self.encoder_projector(xs[-1])
+        return tuple(xs)
+
+    def get_id_emb(self, id_one_hot: jnp.ndarray) -> jnp.ndarray:
+        """[B,H,W,id_dim] one-hot(+ignore) -> [B, HW, C] identity embedding
+        (models/aot.py:111-114)."""
+        e = self.patch_wise_id_bank(id_one_hot)
+        e = self._id_post(e)
+        b, h, w, c = e.shape
+        return e.reshape(b, h * w, c)
+
+    def _id_post(self, e):
+        return e
+
+    def get_pos_emb(self, h: int, w: int) -> jnp.ndarray:
+        return sine_position_embedding(
+            h, w, self.cfg.model_encoder_embedding_dim)
+
+    def temporal_pe(self):
+        if not self.cfg.use_temporal_positional_embedding:
+            return None, None
+        return self.cur_pos_emb, self.mem_pos_emb
+
+    def lstt_forward(self, feat: jnp.ndarray, bank, slot_mask, short,
+                     id_emb, self_pos, cur_pe, slot_pe,
+                     size_2d: Tuple[int, int], need_record: bool = False,
+                     deterministic: bool = True, dp_rng=None):
+        """feat [B,HW,C]. bank/short: tuples of per-plane [L,...] arrays
+        (k, v[, id_v]) or None for the reference frame."""
+        return self.lstt(feat, bank, slot_mask, short, id_emb, self_pos,
+                         cur_pe, slot_pe, size_2d, need_record,
+                         deterministic, dp_rng)
+
+    def write_memories(self, mems: Dict[str, jnp.ndarray], id_emb):
+        """Project pending emissions into (long, short) write tuples.
+
+        Returns (long_k, long_v, long_id_v|None, short_k, short_v,
+        short_id_v|None), each [L,B,HW,*].
+        """
+        long_v, short_v = self.lstt.project_memories(mems, id_emb)
+        return (mems["curr_k"], long_v, None,
+                mems["short_k"], short_v, None)
+
+    def decode_id_logits(self, intermediates: Sequence[jnp.ndarray],
+                         shortcuts: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        """-> [B, H/4, W/4, obj+1] logits (models/aot.py:136-142), NHWC."""
+        b, h, w, c = shortcuts[-1].shape
+        inputs = [shortcuts[-1]]
+        for emb in intermediates:
+            inputs.append(emb.reshape(b, h, w, -1))
+        return self.decoder(inputs, shortcuts)

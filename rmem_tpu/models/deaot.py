@@ -1,0 +1,59 @@
+"""DeAOT: AOT with the dual-branch GPM transformer.
+
+Reference: aot_plus/networks/models/deaot.py:10-69. Decoder input doubles
+(vis+id streams), the id embedding gets a LayerNorm, and the temporal PE is
+half-width (GPM attention keys are d_att*heads = C/2 wide).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from rmem_tpu.models.aot import AOT
+from rmem_tpu.models.gpm import GPM
+from rmem_tpu.ops.layers import layer_norm
+
+
+class DeAOT(AOT):
+
+    def _build_lstt(self):
+        cfg = self.cfg
+        return GPM(num_layers=cfg.model_lstt_num,
+                   d_model=cfg.model_encoder_embedding_dim,
+                   self_heads=cfg.model_self_heads,
+                   att_heads=cfg.model_att_heads,
+                   droppath=cfg.train_lstt_droppath,
+                   intermediate_norm=cfg.model_decoder_intermediate_lstt,
+                   name="lstt")
+
+    def _decoder_indim(self) -> int:
+        cfg = self.cfg
+        c = cfg.model_encoder_embedding_dim
+        if cfg.model_decoder_intermediate_lstt:
+            return c * (cfg.model_lstt_num * 2 + 1)
+        return c * 2
+
+    def _temporal_pe_dim(self) -> int:
+        # GPM K width: d_att * heads = C/2 for single-head (deaot.py:47-51)
+        return self.cfg.model_encoder_embedding_dim // 2
+
+    def _extra_setup(self):
+        self.id_norm = layer_norm("id_norm")
+
+    def _id_post(self, e):
+        # LayerNorm on the id embedding channels (deaot.py:65-69)
+        return self.id_norm(e)
+
+    @property
+    def has_id_values(self) -> bool:
+        return True
+
+    def write_memories(self, mems: Dict[str, jnp.ndarray], id_emb):
+        """GPM writes raw V plus the id-fused ID_V plane; short-term memory
+        shares the same entries (transformer.py:826-857)."""
+        long_v, id_v = self.lstt.project_memories(mems, id_emb)
+        return (mems["curr_k"], long_v, id_v,
+                mems["curr_k"], long_v, id_v)

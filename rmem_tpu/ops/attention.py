@@ -1,0 +1,162 @@
+"""Attention ops, TPU-first formulations.
+
+Three reference primitives (aot_plus/networks/layers/attention.py) map to:
+
+- `multihead_attention`: plain scaled-dot-product over [B, L, C] sequences
+  (attention.py:8-86). fp32 softmax, bf16 matmuls.
+- `bank_attention`: query -> fixed-capacity memory bank cross-attention with
+  invalid slots masked and an optional per-slot attention-mass epilogue (the
+  RMem eviction signal, transformer.py:632-643). This replaces the
+  reference's flatten-[T*HW]-then-SDPA with an explicitly slot-blocked einsum
+  so slot masses fall out of the softmax for free; the Pallas kernel
+  (rmem_tpu/kernels) implements the same contract fused.
+- `dense_local_attention`: DeAOT's 15x15 windowed attention
+  (attention.py:220-413). The reference unfolds K into a 225x blow-up (the
+  memory hot spot); on TPU we instead run a *dense* HW x HW attention on the
+  MXU with a static window mask and scatter the learned relative-position
+  bias into dense form via a precomputed index map. At VOS resolutions
+  (HW ~ 900-2500) dense logits are small and the matmul is
+  systolic-array-shaped, so this is both simpler and faster than
+  gather-based windowing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+
+
+def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        num_heads: int,
+                        scale: Optional[float] = None) -> jnp.ndarray:
+    """q [B,Lq,C], k [B,Lk,C], v [B,Lk,Cv] -> [B,Lq,Cv]."""
+    b, lq, c = q.shape
+    dh = c // num_heads
+    dv = v.shape[-1] // num_heads
+    scale = scale if scale is not None else dh ** -0.5
+    qh = q.reshape(b, lq, num_heads, dh)
+    kh = k.reshape(b, -1, num_heads, dh)
+    vh = v.reshape(b, -1, num_heads, dv)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), vh)
+    return out.reshape(b, lq, num_heads * dv)
+
+
+def bank_attention(q: jnp.ndarray, bank_k: jnp.ndarray, bank_v: jnp.ndarray,
+                   slot_mask: jnp.ndarray, num_heads: int,
+                   need_record: bool = False,
+                   scale: Optional[float] = None
+                   ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Cross-attention from the current frame into the memory bank.
+
+    q: [B, Lq, Ck] (temporal PE already added by caller)
+    bank_k: [S, B, Lk, Ck] (slot temporal PE already added)
+    bank_v: [S, B, Lk, Cv]
+    slot_mask: [S] bool — valid slots.
+
+    Returns (out [B, Lq, Cv], record [B, Lq, S] or None) where record is the
+    head-averaged attention mass per slot (sums to 1 over valid slots per
+    query) — the importance signal for eviction (transformer.py:636-643).
+    """
+    s, b, lk, ck = bank_k.shape
+    lq = q.shape[1]
+    dh = ck // num_heads
+    dv = bank_v.shape[-1] // num_heads
+    scale = scale if scale is not None else dh ** -0.5
+
+    qh = q.reshape(b, lq, num_heads, dh)
+    kh = bank_k.reshape(s, b, lk, num_heads, dh)
+    vh = bank_v.reshape(s, b, lk, num_heads, dv)
+
+    logits = jnp.einsum("bqhd,sbkhd->bhqsk", qh, kh) * scale
+    logits = jnp.where(slot_mask[None, None, None, :, None], logits, NEG_INF)
+    flat = logits.reshape(b, num_heads, lq, s * lk).astype(jnp.float32)
+    probs = jax.nn.softmax(flat, axis=-1).reshape(b, num_heads, lq, s, lk)
+    out = jnp.einsum("bhqsk,sbkhd->bqhd", probs.astype(bank_v.dtype), vh)
+    out = out.reshape(b, lq, num_heads * dv)
+
+    record = None
+    if need_record:
+        record = probs.mean(axis=1).sum(axis=-1)  # [B, Lq, S]
+    return out, record
+
+
+@functools.lru_cache(maxsize=16)
+def _local_offset_map(h: int, w: int, max_dis: int) -> np.ndarray:
+    """Static [HW, HW] int32 map: key position -> window-offset index in
+    [0, win^2), or win^2 for out-of-window (sentinel).
+
+    Encodes the same geometry as the reference's pad_and_unfold + local2global
+    scatter (attention.py:363-413) but as a dense gather index.
+    """
+    win = 2 * max_dis + 1
+    qy, qx = np.divmod(np.arange(h * w), w)
+    ky, kx = np.divmod(np.arange(h * w), w)
+    dy = ky[None, :] - qy[:, None]
+    dx = kx[None, :] - qx[:, None]
+    inside = (np.abs(dy) <= max_dis) & (np.abs(dx) <= max_dis)
+    off = (dy + max_dis) * win + (dx + max_dis)
+    return np.where(inside, off, win * win).astype(np.int32)
+
+
+def dense_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          rel_emb: jnp.ndarray, size_2d: Tuple[int, int],
+                          num_heads: int, max_dis: int = 7,
+                          scale: Optional[float] = None,
+                          need_record: bool = False
+                          ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Windowed local attention as masked dense attention.
+
+    q, k: [B, HW, h*d_att]; v: [B, HW, Cv]; rel_emb: [B, HW, h*win^2]
+    (the learned relative bias produced from *unscaled* q by a 1x1 conv,
+    attention.py:314). Softmax runs over each query's (2*max_dis+1)^2 window;
+    off-image positions are masked exactly like the reference's zero-pad
+    unfold mask (attention.py:305-312,344).
+    """
+    h2d, w2d = size_2d
+    b, hw, chd = q.shape
+    dh = chd // num_heads
+    dv = v.shape[-1] // num_heads
+    win2 = (2 * max_dis + 1) ** 2
+    scale = scale if scale is not None else dh ** -0.5
+
+    omap = jnp.asarray(_local_offset_map(h2d, w2d, max_dis))  # [HW, HW]
+
+    qh = q.reshape(b, hw, num_heads, dh)
+    kh = k.reshape(b, hw, num_heads, dh)
+    vh = v.reshape(b, hw, num_heads, dv)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+
+    # scatter relative bias to dense: rel[b, q, h, o] -> bias[b, h, q, k]
+    rel = rel_emb.reshape(b, hw, num_heads, win2)
+    rel = jnp.concatenate(
+        [rel, jnp.full((b, hw, num_heads, 1), NEG_INF, rel.dtype)], axis=-1)
+    rel = rel.transpose(0, 2, 1, 3)  # [b, h, q, win2+1]
+    bias = jnp.take_along_axis(
+        rel, omap[None, None].astype(jnp.int32), axis=-1)  # [b,h,HW,HW]
+
+    logits = jnp.maximum(logits + bias, NEG_INF)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), vh)
+    out = out.reshape(b, hw, num_heads * dv)
+    return out, (probs if need_record else None)
+
+
+def interleave_heads(x1: jnp.ndarray, x2: jnp.ndarray,
+                     num_heads: int) -> jnp.ndarray:
+    """GatedPropagation's per-head concat of two half-value streams
+    (attention.py:154-162): split each into heads, concat within each head."""
+    b, l, c = x1.shape
+    if num_heads == 1:
+        return jnp.concatenate([x1, x2], axis=-1)
+    h1 = x1.reshape(b, l, num_heads, c // num_heads)
+    h2 = x2.reshape(b, l, num_heads, c // num_heads)
+    return jnp.concatenate([h1, h2], axis=-1).reshape(b, l, 2 * c)

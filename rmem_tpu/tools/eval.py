@@ -1,0 +1,59 @@
+"""Evaluation CLI (aot_plus/tools/eval.py): run inference over an eval
+dataset, write palettized PNG masks + FPS stats, optionally score J/J_tr."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main():
+    p = argparse.ArgumentParser(description="rmem_tpu evaluation")
+    p.add_argument("--exp_name", default="rmem")
+    p.add_argument("--stage", default="pre_vost_2")
+    p.add_argument("--model", default="r50_deaotl")
+    p.add_argument("--dataset", default="vost")
+    p.add_argument("--split", default="val")
+    p.add_argument("--ckpt_path", default="test",
+                   help="'test' runs random weights (synthetic smoke)")
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--output_root", default=None)
+    p.add_argument("--former_mem_len", type=int, default=1)
+    p.add_argument("--latter_mem_len", type=int, default=8)
+    p.add_argument("--flip", action="store_true")
+    p.add_argument("--ms", type=float, nargs="*", default=[1.0])
+    p.add_argument("--max_seqs", type=int, default=None)
+    p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--score", action="store_true",
+                   help="run offline J/J_tr scoring afterwards")
+    args = p.parse_args()
+
+    from rmem_tpu.config import get_config
+    cfg = get_config(
+        args.stage, args.exp_name, args.model,
+        test_dataset=args.dataset, test_dataset_split=args.split,
+        test_ckpt_path=args.ckpt_path,
+        former_mem_len=args.former_mem_len,
+        latter_mem_len=args.latter_mem_len,
+        test_flip=args.flip, test_multiscale=tuple(args.ms))
+
+    from rmem_tpu.managers.evaluator import Evaluator
+    ev = Evaluator(cfg, data_root=args.data_root,
+                   output_root=args.output_root)
+    stats = ev.evaluate(max_seqs=args.max_seqs, max_frames=args.max_frames)
+    print(json.dumps({k: v for k, v in stats.items()
+                      if k != "per_seq_fps"}, indent=2))
+
+    if args.score and args.dataset not in ("test",):
+        from rmem_tpu.evaluation import Evaluation
+        from rmem_tpu.evaluation.evaluation import summarize
+        root = args.data_root or cfg.dir_data
+        sub = {"vost": "VOST", "davis2017": "DAVIS",
+               "long_videos": "long_videos"}[args.dataset]
+        e = Evaluation(os.path.join(root, sub), args.split)
+        print(json.dumps(summarize(e.evaluate(ev.output_root)), indent=2))
+
+
+if __name__ == "__main__":
+    main()

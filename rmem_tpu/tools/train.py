@@ -1,0 +1,50 @@
+"""Training CLI (aot_plus/tools/train.py): compose config, save it into the
+result dir, run the Trainer. One process drives the whole device mesh."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser(description="rmem_tpu training")
+    p.add_argument("--exp_name", default="rmem")
+    p.add_argument("--stage", default="pre_vost_2")
+    p.add_argument("--model", default="r50_deaotl")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--total_steps", type=int, default=None)
+    p.add_argument("--pretrained_path", default=None)
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--mesh", type=int, nargs="*", default=None,
+                   help="data-parallel mesh shape, e.g. --mesh 4")
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="stop early (smoke runs)")
+    p.add_argument("--fix_random", action="store_true")
+    args = p.parse_args()
+
+    from rmem_tpu.config import get_config
+    over = {}
+    if args.batch_size:
+        over["train_batch_size"] = args.batch_size
+    if args.total_steps:
+        over["train_total_steps"] = args.total_steps
+    if args.pretrained_path:
+        over["pretrain_model"] = args.pretrained_path
+        over["pretrain_full"] = True
+    if args.mesh:
+        over["mesh_shape"] = tuple(args.mesh)
+    cfg = get_config(args.stage, args.exp_name, args.model, **over)
+    cfg.save()
+
+    if args.fix_random:
+        import numpy as np
+        np.random.seed(1)
+
+    from rmem_tpu.managers.trainer import Trainer
+    trainer = Trainer(cfg, data_root=args.data_root)
+    metrics = trainer.train(max_steps=args.max_steps)
+    print("final metrics:", metrics)
+
+
+if __name__ == "__main__":
+    main()

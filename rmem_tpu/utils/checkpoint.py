@@ -1,0 +1,282 @@
+"""Checkpoint I/O: native pytree checkpoints + torch .pth converter.
+
+Native format: flax msgpack files (params / opt_state / EMA), cadence and
+retention mirroring the reference (save every 500 steps, keep last 8,
+aot_plus/utils/checkpoint.py:104-138, configs/default.py:79-81).
+
+Converter: maps the reference's released PyTorch state_dicts
+(R50_AOTL / R50_DeAOTL families) onto our param tree — conv OIHW->HWIO,
+linear [out,in]->[in,out], BN (gamma,beta,mean,var) folded into FoldedBN
+(scale,bias), `module.` prefixes stripped, 11->12-channel id-bank padding for
+the ignore token (utils/checkpoint.py:86-97).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.serialization
+import flax.traverse_util as trav
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# native save/load
+# ---------------------------------------------------------------------------
+
+def save_pytree(tree, path: str):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(tree))
+
+
+def load_pytree(template, path: str):
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())
+
+
+def save_checkpoint(state, ckpt_dir: str, step: int, max_keep: int = 8,
+                    prefix: str = "save_step_"):
+    """Save + prune to max_keep (utils/checkpoint.py:130-138)."""
+    path = os.path.join(ckpt_dir, f"{prefix}{step}.msgpack")
+    save_pytree(state, path)
+    kept = sorted(
+        (f for f in os.listdir(ckpt_dir)
+         if f.startswith(prefix) and f.endswith(".msgpack")),
+        key=lambda f: int(re.findall(r"\d+", f)[-1]))
+    for f in kept[:-max_keep]:
+        os.remove(os.path.join(ckpt_dir, f))
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str, prefix: str = "save_step_"
+                      ) -> Optional[Tuple[str, int]]:
+    """Auto-resume scan (trainer.py:188-198)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    ckpts = [f for f in os.listdir(ckpt_dir)
+             if f.startswith(prefix) and f.endswith(".msgpack")]
+    if not ckpts:
+        return None
+    steps = [int(re.findall(r"\d+", f)[-1]) for f in ckpts]
+    i = int(np.argmax(steps))
+    return os.path.join(ckpt_dir, ckpts[i]), steps[i]
+
+
+# ---------------------------------------------------------------------------
+# torch .pth conversion
+# ---------------------------------------------------------------------------
+
+BN_EPS = 1e-5
+
+
+def _fold_bn(sd: Dict[str, np.ndarray], prefix: str):
+    gamma = sd[f"{prefix}.weight"]
+    beta = sd[f"{prefix}.bias"]
+    mean = sd[f"{prefix}.running_mean"]
+    var = sd[f"{prefix}.running_var"]
+    scale = gamma / np.sqrt(var + BN_EPS)
+    bias = beta - mean * scale
+    return {"scale": scale.astype(np.float32),
+            "bias": bias.astype(np.float32)}
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _dense(w: np.ndarray) -> np.ndarray:
+    """[out, in] -> [in, out]; 1x1 conv weights squeeze first."""
+    if w.ndim == 4:  # 1x1 conv used as a dense layer
+        w = w[:, :, 0, 0]
+    return np.transpose(w, (1, 0))
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    out = {}
+    for k, v in sd.items():
+        k = k.removeprefix("module.")
+        out[k] = v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+    return out
+
+
+def _convert_resnet(sd, out: Dict[Tuple[str, ...], np.ndarray],
+                    layers=(3, 4, 6)):
+    p = ("encoder",)
+    out[p + ("conv1", "kernel")] = _conv(sd["encoder.conv1.weight"])
+    for k, v in _fold_bn(sd, "encoder.bn1").items():
+        out[p + ("bn1", k)] = v
+    for stage, blocks in enumerate(layers, start=1):
+        for i in range(blocks):
+            tp = f"encoder.layer{stage}.{i}"
+            fp = p + (f"layer{stage}_{i}",)
+            for c in ("conv1", "conv2", "conv3"):
+                out[fp + (c, "kernel")] = _conv(sd[f"{tp}.{c}.weight"])
+            for b in ("bn1", "bn2", "bn3"):
+                for k, v in _fold_bn(sd, f"{tp}.{b}").items():
+                    out[fp + (b, k)] = v
+            if f"{tp}.downsample.0.weight" in sd:
+                out[fp + ("downsample_conv", "kernel")] = _conv(
+                    sd[f"{tp}.downsample.0.weight"])
+                for k, v in _fold_bn(sd, f"{tp}.downsample.1").items():
+                    out[fp + ("downsample_bn", k)] = v
+
+
+def _put_dense(sd, out, tname: str, fpath: Tuple[str, ...],
+               required: bool = True):
+    wkey = f"{tname}.weight"
+    if wkey not in sd:
+        if required:
+            raise KeyError(wkey)
+        return
+    out[fpath + ("kernel",)] = _dense(sd[wkey])
+    if f"{tname}.bias" in sd:
+        out[fpath + ("bias",)] = sd[f"{tname}.bias"]
+
+
+def _put_norm(sd, out, tname: str, fpath: Tuple[str, ...]):
+    out[fpath + ("scale",)] = sd[f"{tname}.weight"]
+    out[fpath + ("bias",)] = sd[f"{tname}.bias"]
+
+
+def _convert_lstt_block(sd, out, i: int):
+    t = f"LSTT.layers.{i}"
+    f = ("lstt", f"block{i}")
+    _put_norm(sd, out, f"{t}.norm1", f + ("norm1",))
+    for q in ("linear_Q", "linear_K", "linear_V"):
+        _put_dense(sd, out, f"{t}.self_attn.{q}", f + ("self_attn", q))
+    _put_dense(sd, out, f"{t}.self_attn.projection",
+               f + ("self_attn", "projection"))
+    _put_norm(sd, out, f"{t}.norm2", f + ("norm2",))
+    for q in ("linear_Q", "linear_V", "linear_QMem", "linear_VMem"):
+        _put_dense(sd, out, f"{t}.{q}", f + (q,))
+    if f"{t}.norm4.weight" in sd:
+        _put_norm(sd, out, f"{t}.norm4", f + ("norm4",))
+    _put_dense(sd, out, f"{t}.long_term_attn.projection", f + ("long_proj",))
+    _put_dense(sd, out, f"{t}.short_term_attn.projection",
+               f + ("short_proj",))
+    _put_norm(sd, out, f"{t}.norm3", f + ("norm3",))
+    _put_dense(sd, out, f"{t}.linear1", f + ("linear1",))
+    _put_dense(sd, out, f"{t}.linear2", f + ("linear2",))
+    _put_norm(sd, out, f"{t}.activation.gn", f + ("activation", "gn"))
+    out[f + ("activation", "conv", "kernel")] = _conv(
+        sd[f"{t}.activation.conv.weight"])
+
+
+def _convert_gpm_block(sd, out, i: int):
+    t = f"LSTT.layers.{i}"
+    f = ("lstt", f"block{i}")
+    _put_norm(sd, out, f"{t}.norm1", f + ("norm1",))
+    _put_dense(sd, out, f"{t}.linear_QV", f + ("linear_QV",))
+    _put_dense(sd, out, f"{t}.linear_U", f + ("linear_U",))
+    _put_dense(sd, out, f"{t}.linear_ID_V", f + ("linear_ID_V",))
+    if f"{t}.linear_ID_U.weight" in sd:
+        _put_dense(sd, out, f"{t}.linear_ID_U", f + ("linear_ID_U",))
+        _put_norm(sd, out, f"{t}.id_norm1", f + ("id_norm1",))
+    # long/short gated tails
+    out[f + ("long_tail", "dw_conv", "conv", "kernel")] = _conv(
+        sd[f"{t}.long_term_attn.dw_conv.conv.weight"])
+    _put_dense(sd, out, f"{t}.long_term_attn.projection",
+               f + ("long_tail", "projection"))
+    _put_dense(sd, out, f"{t}.short_term_attn.relative_emb_k",
+               f + ("relative_emb_k",))
+    out[f + ("short_tail", "dw_conv", "conv", "kernel")] = _conv(
+        sd[f"{t}.short_term_attn.dw_conv.conv.weight"])
+    _put_dense(sd, out, f"{t}.short_term_attn.projection",
+               f + ("short_tail", "projection"))
+    _put_norm(sd, out, f"{t}.norm2", f + ("norm2",))
+    _put_norm(sd, out, f"{t}.id_norm2", f + ("id_norm2",))
+    sa = f + ("self_attn",)
+    for q in ("linear_QK", "linear_V1", "linear_V2", "linear_U1",
+              "linear_U2"):
+        _put_dense(sd, out, f"{t}.self_attn.{q}", sa + (q,))
+    out[sa + ("tail", "dw_conv", "conv", "kernel")] = _conv(
+        sd[f"{t}.self_attn.dw_conv.conv.weight"])
+    _put_dense(sd, out, f"{t}.self_attn.projection",
+               sa + ("tail", "projection"))
+
+
+def _convert_fpn(sd, out):
+    f = ("decoder",)
+    for name in ("conv_in", "conv_16x", "conv_8x", "conv_4x"):
+        out[f + (name, "conv", "kernel")] = _conv(
+            sd[f"decoder.{name}.conv.weight"])
+        out[f + (name, "conv", "bias")] = sd[f"decoder.{name}.conv.bias"]
+        _put_norm(sd, out, f"decoder.{name}.gn", f + (name, "gn"))
+    for name in ("adapter_16x", "adapter_8x", "adapter_4x", "conv_out"):
+        out[f + (name, "kernel")] = _conv(sd[f"decoder.{name}.weight"])
+        out[f + (name, "bias")] = sd[f"decoder.{name}.bias"]
+
+
+def convert_torch_checkpoint(sd: Dict[str, np.ndarray], model_vos: str,
+                             num_layers: int = 3,
+                             id_channels: int = 12
+                             ) -> Dict[str, Any]:
+    """Torch state_dict -> nested flax param dict for AOT/DeAOT (r50)."""
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    _convert_resnet(sd, out)
+    out[("encoder_projector", "kernel")] = _conv(
+        sd["encoder_projector.weight"])
+    out[("encoder_projector", "bias")] = sd["encoder_projector.bias"]
+
+    # id bank; pad 11 -> 12 input channels for the ignore token
+    # (utils/checkpoint.py:86-97)
+    w = _conv(sd["patch_wise_id_bank.weight"])  # [k,k,in,out]
+    if w.shape[2] < id_channels:
+        pad = np.zeros(w.shape[:2] + (id_channels - w.shape[2], w.shape[3]),
+                       w.dtype)
+        w = np.concatenate([w, pad], axis=2)
+    out[("patch_wise_id_bank", "kernel")] = w
+    out[("patch_wise_id_bank", "bias")] = sd["patch_wise_id_bank.bias"]
+
+    if "cur_pos_emb" in sd:
+        out[("cur_pos_emb",)] = sd["cur_pos_emb"]
+        out[("mem_pos_emb",)] = sd["mem_pos_emb"]
+
+    for i in range(num_layers):
+        if model_vos == "aot":
+            _convert_lstt_block(sd, out, i)
+        else:
+            _convert_gpm_block(sd, out, i)
+    n_norms = len([k for k in sd if k.startswith("LSTT.decoder_norms.")
+                   and k.endswith(".weight")])
+    for i in range(n_norms):
+        _put_norm(sd, out, f"LSTT.decoder_norms.{i}",
+                  ("lstt", f"decoder_norm{i}"))
+    _convert_fpn(sd, out)
+    if model_vos == "deaot":
+        _put_norm(sd, out, "id_norm", ("id_norm",))
+    return trav.unflatten_dict(out)
+
+
+def load_pretrained(params, pth_path: str, model_vos: str,
+                    id_channels: int = 12, strict: bool = False):
+    """Shape-tolerant merge of a torch checkpoint into an init param tree
+    (utils/checkpoint.py:75-102)."""
+    sd = load_torch_state_dict(pth_path)
+    num_layers = len({k.split(".")[2] for k in sd
+                      if k.startswith("LSTT.layers.")})
+    conv = convert_torch_checkpoint(sd, model_vos, num_layers, id_channels)
+    flat_new = trav.flatten_dict(conv)
+    flat_old = trav.flatten_dict(params)
+    merged, skipped = {}, []
+    for k, v in flat_old.items():
+        if k in flat_new and flat_new[k].shape == v.shape:
+            merged[k] = jnp.asarray(flat_new[k], v.dtype)
+        else:
+            if k in flat_new:
+                skipped.append(("shape", k, flat_new[k].shape, v.shape))
+            else:
+                skipped.append(("missing", k))
+            merged[k] = v
+    if strict and skipped:
+        raise ValueError(f"unmerged params: {skipped}")
+    extra = [k for k in flat_new if k not in flat_old]
+    return trav.unflatten_dict(merged), skipped, extra

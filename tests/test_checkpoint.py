@@ -1,0 +1,143 @@
+"""Checkpoint converter coverage: fabricate a reference-named torch
+state_dict (names/shapes follow the reference module definitions) and check
+every init param is matched by the converter — catching any naming or
+transpose drift between our modules and the mapping."""
+
+import numpy as np
+import jax
+import pytest
+
+from rmem_tpu.config import get_config
+from rmem_tpu.models import build_vos_model, init_params
+from rmem_tpu.utils.checkpoint import (convert_torch_checkpoint,
+                                       latest_checkpoint, load_pytree,
+                                       save_checkpoint)
+import flax.traverse_util as trav
+
+HW = (33, 33)
+
+
+def _fabricate_torch_sd(flat_params, model_vos):
+    """Invert the converter's transforms to produce torch-shaped arrays with
+    reference names."""
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def torch_name(path):
+        p = list(path)
+        j = "/".join(p)
+        if p[0] == "encoder":
+            if p[1].startswith("layer"):
+                stage, idx = p[1].split("_")
+                sub = {"downsample_conv": "downsample.0",
+                       "downsample_bn": "downsample.1"}.get(p[2], p[2])
+                return f"encoder.{stage}.{idx}.{sub}"
+            return f"encoder.{p[1]}"
+        if p[0] == "lstt":
+            if p[1].startswith("decoder_norm"):
+                return f"LSTT.decoder_norms.{p[1][-1]}"
+            i = p[1][-1]
+            rest = p[2:-1] + [p[-1]] if False else p[2:]
+            mid = rest[:-1]
+            name_map = {
+                ("long_proj",): "long_term_attn.projection",
+                ("short_proj",): "short_term_attn.projection",
+                ("long_tail", "dw_conv", "conv"): "long_term_attn.dw_conv.conv",
+                ("long_tail", "projection"): "long_term_attn.projection",
+                ("short_tail", "dw_conv", "conv"):
+                    "short_term_attn.dw_conv.conv",
+                ("short_tail", "projection"): "short_term_attn.projection",
+                ("relative_emb_k",): "short_term_attn.relative_emb_k",
+                ("self_attn", "tail", "dw_conv", "conv"):
+                    "self_attn.dw_conv.conv",
+                ("self_attn", "tail", "projection"): "self_attn.projection",
+                ("activation", "gn"): "activation.gn",
+                ("activation", "conv"): "activation.conv",
+            }
+            mid_t = name_map.get(tuple(mid), ".".join(mid))
+            return f"LSTT.layers.{i}.{mid_t}"
+        if p[0] == "decoder":
+            return "decoder." + ".".join(p[1:-1])
+        return ".".join(p[:-1]) if len(p) > 1 else p[0]
+
+    for path, leaf in flat_params.items():
+        leaf = np.asarray(leaf)
+        tname = torch_name(path)
+        last = path[-1]
+        is_bn = (path[0] == "encoder"
+                 and ("bn" in path[-2] if len(path) > 1 else False))
+        if is_bn:
+            # emit gamma/beta/mean/var once per BN
+            c = leaf.shape[0]
+            if f"{tname}.running_mean" not in sd:
+                sd[f"{tname}.weight"] = rng.randn(c).astype(np.float32)
+                sd[f"{tname}.bias"] = rng.randn(c).astype(np.float32)
+                sd[f"{tname}.running_mean"] = rng.randn(c).astype(np.float32)
+                sd[f"{tname}.running_var"] = np.abs(
+                    rng.randn(c)).astype(np.float32) + 0.5
+            continue
+        if last == "kernel":
+            if leaf.ndim == 4:
+                sd[f"{tname}.weight"] = np.transpose(
+                    rng.randn(*leaf.shape).astype(np.float32), (3, 2, 0, 1))
+            else:
+                sd[f"{tname}.weight"] = np.transpose(
+                    rng.randn(*leaf.shape).astype(np.float32), (1, 0))
+        elif last == "scale":
+            sd[f"{tname}.weight"] = rng.randn(*leaf.shape).astype(np.float32)
+        elif last == "bias":
+            sd[f"{tname}.bias"] = rng.randn(*leaf.shape).astype(np.float32)
+        else:  # cur_pos_emb / mem_pos_emb
+            sd[tname] = rng.randn(*leaf.shape).astype(np.float32)
+    return sd
+
+
+@pytest.mark.parametrize("model_name", ["r50_aotl", "r50_deaotl"])
+def test_converter_full_coverage(model_name):
+    cfg = get_config("pre_vost", model=model_name)
+    model = build_vos_model(cfg.model_vos, cfg)
+    params = init_params(model, jax.random.PRNGKey(0), HW)
+    flat = trav.flatten_dict(params)
+    sd = _fabricate_torch_sd(flat, cfg.model_vos)
+    conv = convert_torch_checkpoint(sd, cfg.model_vos,
+                                    cfg.model_lstt_num, cfg.id_channels)
+    flat_conv = trav.flatten_dict(conv)
+    missing = [k for k in flat if k not in flat_conv]
+    assert not missing, f"converter missed {missing[:10]}"
+    bad = [(k, flat_conv[k].shape, flat[k].shape) for k in flat
+           if flat_conv[k].shape != flat[k].shape]
+    assert not bad, f"shape mismatches {bad[:10]}"
+
+
+def test_converter_id_bank_padding():
+    """11->12 channel ignore-token padding (utils/checkpoint.py:86-97)."""
+    cfg = get_config("pre_vost", model="r50_aotl")
+    model = build_vos_model(cfg.model_vos, cfg)
+    params = init_params(model, jax.random.PRNGKey(0), HW)
+    flat = trav.flatten_dict(params)
+    sd = _fabricate_torch_sd(flat, cfg.model_vos)
+    w = sd["patch_wise_id_bank.weight"]          # [256, 12, 17, 17]
+    sd["patch_wise_id_bank.weight"] = w[:, :11]  # drop ignore channel
+    conv = convert_torch_checkpoint(sd, "aot", cfg.model_lstt_num, 12)
+    got = trav.flatten_dict(conv)[("patch_wise_id_bank", "kernel")]
+    assert got.shape[2] == 12
+    assert np.all(got[:, :, 11] == 0)
+
+
+def test_save_load_roundtrip(tmp_path):
+    cfg = get_config("test", model="r50_deaotl")
+    model = build_vos_model(cfg.model_vos, cfg)
+    params = init_params(model, jax.random.PRNGKey(0), HW)
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(params, d, 500, max_keep=2)
+    save_checkpoint(params, d, 1000, max_keep=2)
+    save_checkpoint(params, d, 1500, max_keep=2)
+    import os
+    assert len(os.listdir(d)) == 2  # pruned to max_keep
+    path, step = latest_checkpoint(d)
+    assert step == 1500
+    loaded = load_pytree(params, path)
+    a = trav.flatten_dict(params)
+    b = trav.flatten_dict(loaded)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))

@@ -1,0 +1,96 @@
+"""End-to-end engine smoke tests: reference frame -> propagate/update loop on
+synthetic video, AOT and DeAOT, including eviction engagement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rmem_tpu.config import get_config
+from rmem_tpu.engine import InferenceEngine, separate_mask, soft_logit_aggregation
+from rmem_tpu.models import build_vos_model, init_params
+
+HW = (49, 49)  # stride-snapped: (49-1) % 16 == 0
+
+
+def _make(model_name, **over):
+    cfg = get_config("pre_vost", model=model_name, **over)
+    model = build_vos_model(cfg.model_vos, cfg)
+    params = init_params(model, jax.random.PRNGKey(0), HW)
+    return cfg, model, params
+
+
+def _video(num_frames, seed=0):
+    rng = np.random.RandomState(seed)
+    imgs = rng.rand(num_frames, 1, *HW, 3).astype(np.float32)
+    mask = np.zeros((1, *HW), np.int32)
+    mask[:, 10:25, 10:25] = 1
+    mask[:, 30:45, 30:40] = 2
+    return imgs, mask
+
+
+@pytest.mark.parametrize("model_name", ["r50_aotl", "r50_deaotl"])
+def test_engine_video_loop(model_name):
+    cfg, model, params = _make(model_name, latter_mem_len=2)
+    engine = InferenceEngine(model, params, cfg, donate=False)
+    imgs, mask = _video(8)
+
+    state, logits = engine.add_reference(jnp.asarray(imgs[0]),
+                                         jnp.asarray(mask), [2], gap=2)
+    assert logits.shape == (1, 13, 13, 11)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    assert int(state.bank.count) == 1
+
+    counts = []
+    for t in range(1, 8):
+        state, logits = engine.propagate(state, jnp.asarray(imgs[t]))
+        assert np.all(np.isfinite(np.asarray(logits)))
+        if state.record is not None:
+            rec = np.asarray(state.record)
+            np.testing.assert_allclose(rec.sum(-1), 1.0, atol=1e-4)
+        full = engine.predict_logits_at(logits, HW)
+        label = jnp.argmax(full, axis=-1).astype(jnp.int32)
+        state = engine.update_memory(state, label)
+        counts.append(int(state.bank.count))
+
+    # gap=2: appends at steps 2,4,6; capacity former+latter=3 -> evictions
+    assert counts == [1, 2, 2, 3, 3, 3, 3]
+    assert int(state.frame_step) == 7
+    assert int(state.last_mem_step) == 6
+
+    # unused id channels masked
+    lg = np.asarray(logits)
+    assert np.all(lg[..., 3:] <= -1e9)
+
+
+def test_multi_group_aggregation():
+    label = jnp.asarray(np.array([[0, 5, 12], [10, 11, 20], [0, 1, 21]],
+                                 np.int32))
+    sep = separate_mask(label, num_groups=2, max_obj=10)
+    assert sep.shape == (2, 3, 3)
+    np.testing.assert_array_equal(np.asarray(sep[0]),
+                                  [[0, 5, 0], [10, 0, 0], [0, 1, 0]])
+    # label 21 exceeds 2 groups' id range (max 20) and maps to background
+    np.testing.assert_array_equal(np.asarray(sep[1]),
+                                  [[0, 0, 2], [0, 1, 10], [0, 0, 0]])
+
+    logits = jnp.asarray(np.random.RandomState(0).randn(2, 3, 3, 11)
+                         .astype(np.float32))
+    merged = soft_logit_aggregation(logits, 10)
+    assert merged.shape == (3, 3, 21)
+    p = np.asarray(jax.nn.softmax(merged, axis=-1))
+    assert np.all(np.isfinite(p))
+
+
+def test_engine_no_long_memory_flag():
+    cfg, model, params = _make("r50_aotl", no_long_memory=True)
+    engine = InferenceEngine(model, params, cfg, donate=False)
+    imgs, mask = _video(3)
+    state, _ = engine.add_reference(jnp.asarray(imgs[0]), jnp.asarray(mask),
+                                    [2], gap=1)
+    for t in (1, 2):
+        state, logits = engine.propagate(state, jnp.asarray(imgs[t]))
+        full = engine.predict_logits_at(logits, HW)
+        state = engine.update_memory(
+            state, jnp.argmax(full, -1).astype(jnp.int32))
+    assert int(state.bank.count) == 1  # never appended beyond the reference
