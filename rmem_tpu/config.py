@@ -247,6 +247,20 @@ MODEL_PRESETS: Dict[str, Dict[str, Any]] = {
     "deaott": dict(model_vos="deaot", model_engine="deaotengine",
                    model_lstt_num=1, model_self_heads=1, model_att_heads=1,
                    model_decoder_intermediate_lstt=False),
+    # CI-only tiny variants (no reference equivalent): full graph structure,
+    # toy encoder + narrow embedding
+    "tiny_aotl": dict(model_vos="aot", model_engine="aotengine",
+                      model_encoder="tiny", model_encoder_dim=(32, 48, 64, 64),
+                      model_encoder_embedding_dim=64, model_lstt_num=2,
+                      train_long_term_mem_gap=2, test_long_term_mem_gap=2),
+    "tiny_deaotl": dict(model_vos="deaot", model_engine="deaotengine",
+                        model_encoder="tiny",
+                        model_encoder_dim=(32, 48, 64, 64),
+                        model_encoder_embedding_dim=64,
+                        model_self_heads=1, model_att_heads=1,
+                        model_decoder_intermediate_lstt=False,
+                        model_lstt_num=2, train_long_term_mem_gap=2,
+                        test_long_term_mem_gap=2),
     "r50_deaotl": _r50_common(
         model_vos="deaot", model_engine="deaotengine",
         model_self_heads=1, model_att_heads=1,

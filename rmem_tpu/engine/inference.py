@@ -82,10 +82,14 @@ class InferenceEngine:
 
     def __init__(self, model, params, cfg: Config, need_record: bool = True,
                  donate: bool = True):
+        import jax as _jax
         self.model = model
         self.params = params
         self.cfg = cfg
         self.need_record = need_record and not cfg.no_long_memory
+        # fused Pallas bank attention (inference only; no VJP)
+        self.use_pallas = (cfg.use_pallas_bank_attention
+                           and _jax.default_backend() != "cpu")
         donate_args = (1,) if donate else ()
         self._add_ref = jax.jit(self._add_reference_impl)
         self._propagate = jax.jit(self._propagate_impl,
@@ -173,7 +177,7 @@ class InferenceEngine:
             params, type(self.model).lstt_forward, feat,
             self._bank_tuple(state.bank), valid_slot_mask(state.bank),
             self._short_tuple(state), None, self_pos, cur_pe, slot_pe,
-            (eh, ew), self.need_record)
+            (eh, ew), self.need_record, True, None, self.use_pallas)
         logits = self._decode(params, intermediates, xs, state.obj_nums)
         state = state.replace(frame_step=state.frame_step + 1, mems=mems,
                               record=record, logits4x=logits)

@@ -140,8 +140,11 @@ class TrainState:
     @staticmethod
     def create(params, cfg: Config) -> "TrainState":
         tx = make_optimizer(params, cfg)
+        # EMA starts as a *copy* — aliasing params would break buffer
+        # donation of the train state (same buffer donated twice)
+        ema = jax.tree_util.tree_map(jnp.array, params)
         return TrainState(params=params, opt_state=tx.init(params),
-                          ema_params=params,
+                          ema_params=ema,
                           step=jnp.zeros((), jnp.int32))
 
 
@@ -158,17 +161,20 @@ def ema_update(ema_params, params, step, total_steps: int,
 
 def make_train_step(model, cfg: Config, tx: optax.GradientTransformation
                     ) -> Callable:
-    """Returns step(state, batch, rng) -> (state, metrics). batch:
-    imgs [B,T,H,W,3], labels [B,T,H,W], obj_nums [B]."""
+    """Returns step(state, batch, shuffle) -> (state, metrics). batch:
+    imgs [B,T,H,W,3], labels [B,T,H,W], obj_nums [B]; shuffle from
+    rmem_tpu.ops.masks.host_id_shuffle_matrix."""
     from rmem_tpu.engine.training import train_forward
-    from rmem_tpu.ops.masks import id_shuffle_matrix
 
     seq_start = cfg.train_seq_training_start_ratio * cfg.train_total_steps
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
-                rng: jax.Array):
-        b = batch["imgs"].shape[0]
-        shuffle = id_shuffle_matrix(rng, cfg.model_max_obj_num + 1, b)
+                shuffle: jnp.ndarray):
+        """batch: imgs/labels/obj_nums (sharded on 'data'); shuffle:
+        [B, obj+1, obj+1] id permutation matrices, generated host-side per
+        step like the reference (aot_engine.py:559-563) — jax.random
+        permutation inside the SPMD step deadlocks XLA:CPU collectives on
+        low-core hosts and is host-trivial anyway."""
         stepf = state.step.astype(jnp.float32)
         use_prev = stepf >= seq_start
 

@@ -36,7 +36,7 @@ from rmem_tpu.data.transforms import (normalize_image, resize_label,
                                       resize_image, restrict_size)
 from rmem_tpu.engine import (InferenceEngine, separate_mask,
                              soft_logit_aggregation)
-from rmem_tpu.models import build_vos_model, init_params
+from rmem_tpu.models import build_vos_model, init_params, load_model_params
 from rmem_tpu.utils.image import AsyncMaskWriter
 
 
@@ -65,7 +65,8 @@ class Evaluator:
         self.model = build_vos_model(cfg.model_vos, cfg)
         if params is None:
             if cfg.test_ckpt_path and cfg.test_ckpt_path != "test":
-                params = self._load_params(cfg.test_ckpt_path)
+                params = load_model_params(self.model, cfg.test_ckpt_path,
+                                           log)
             else:  # synthetic/no-checkpoint path (evaluator.py:62-65)
                 params = init_params(self.model, jax.random.PRNGKey(42))
         self.params = params
@@ -77,17 +78,6 @@ class Evaluator:
                      for f in ((False, True) if cfg.test_flip
                                else (False,))]
         self.writer = AsyncMaskWriter()
-
-    def _load_params(self, path: str):
-        from rmem_tpu.utils.checkpoint import load_pretrained, load_pytree
-        params = init_params(self.model, jax.random.PRNGKey(0))
-        if path.endswith(".pth"):
-            params, skipped, _ = load_pretrained(
-                params, path, self.cfg.model_vos, self.cfg.id_channels)
-            if skipped:
-                self.log(f"checkpoint merge skipped {len(skipped)} entries")
-            return params
-        return load_pytree(params, path)
 
     # ------------------------------------------------------------------
     def _prep_frame(self, image: np.ndarray, aug: _AugSpec):
@@ -229,12 +219,11 @@ class Evaluator:
 
         return SequenceResult(seq.name, n_processed, seconds)
 
-    @staticmethod
-    def _group_obj_nums(obj_num: int, groups: int) -> List[int]:
+    def _group_obj_nums(self, obj_num: int, groups: int) -> List[int]:
         out = []
         rest = obj_num
         for _ in range(groups):
-            out.append(min(rest, 10))
+            out.append(min(rest, self.cfg.model_max_obj_num))
             rest -= out[-1]
         return out
 

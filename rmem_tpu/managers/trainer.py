@@ -76,13 +76,17 @@ class Trainer:
     def train(self, max_steps: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg
         total = max_steps or cfg.train_total_steps
-        rng = jax.random.PRNGKey(cfg.train_start_step)
+        rng = np.random.RandomState(cfg.train_start_step + 7)
         t_last = time.perf_counter()
         metrics = {}
+        from rmem_tpu.ops.masks import host_id_shuffle_matrix
+        from rmem_tpu.parallel.mesh import batch_sharding
+        bsh = batch_sharding(self.mesh)
         while int(self.state.step) < total:
             batch = shard_batch(next(self.loader), self.mesh)
-            rng, sub = jax.random.split(rng)
-            self.state, metrics = self.pstep(self.state, batch, sub)
+            shuffle = jax.device_put(host_id_shuffle_matrix(
+                rng, cfg.model_max_obj_num + 1, cfg.train_batch_size), bsh)
+            self.state, metrics = self.pstep(self.state, batch, shuffle)
             step = int(self.state.step)
             if step % cfg.train_log_step == 0:
                 m = {k: float(v) for k, v in metrics.items()}

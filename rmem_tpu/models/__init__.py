@@ -43,3 +43,18 @@ def init_params(model, rng: jax.Array, input_hw: Tuple[int, int] = (65, 65),
     id_oh = jnp.zeros((batch, *input_hw, cfg.id_channels), jnp.float32)
     variables = model.init(rng, img, id_oh, method=init_forward)
     return variables["params"]
+
+
+def load_model_params(model, path: str, log=print):
+    """Load params from a native msgpack checkpoint or a reference .pth
+    (shape-tolerant merge, utils/checkpoint.py:75-102)."""
+    from rmem_tpu.utils.checkpoint import load_pretrained, load_pytree
+
+    params = init_params(model, jax.random.PRNGKey(0))
+    if path.endswith(".pth"):
+        params, skipped, _ = load_pretrained(
+            params, path, model.cfg.model_vos, model.cfg.id_channels)
+        if skipped:
+            log(f"checkpoint merge skipped {len(skipped)} entries")
+        return params
+    return load_pytree(params, path)

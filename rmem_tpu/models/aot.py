@@ -31,8 +31,11 @@ class AOT(nn.Module):
     def setup(self):
         cfg = self.cfg
         c = cfg.model_encoder_embedding_dim
-        self.encoder = build_encoder(cfg.model_encoder)
-        self.encoder_projector = conv(c, 1, name="encoder_projector")
+        self.dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                      else jnp.float32)
+        self.encoder = build_encoder(cfg.model_encoder, dtype=self.dtype)
+        self.encoder_projector = conv(c, 1, name="encoder_projector",
+                                      dtype=self.dtype)
         self.lstt = self._build_lstt()
         self.decoder = build_decoder(
             "fpn",
@@ -42,6 +45,7 @@ class AOT(nn.Module):
             hidden_dim=c,
             shortcut_dims=cfg.model_encoder_dim,
             align_corners=cfg.model_align_corners,
+            dtype=self.dtype,
         )
         # 17x17/s16 conv embedding the one-hot (+ignore) mask (aot.py:64-83)
         k = 17 if cfg.model_align_corners else 16
@@ -49,7 +53,7 @@ class AOT(nn.Module):
         self.patch_wise_id_bank = nn.Conv(
             c, (k, k), strides=(16, 16), padding=((pad, pad), (pad, pad)),
             kernel_init=nn.initializers.orthogonal(scale=k ** -2),
-            name="patch_wise_id_bank")
+            name="patch_wise_id_bank", dtype=self.dtype)
         if cfg.use_temporal_positional_embedding:
             pe_dim = self._temporal_pe_dim()
             slots = 4 if cfg.temporal_positional_embedding_slot_4 else 2
@@ -67,7 +71,7 @@ class AOT(nn.Module):
                     linear_q=cfg.model_linear_q,
                     droppath=cfg.train_lstt_droppath,
                     intermediate_norm=cfg.model_decoder_intermediate_lstt,
-                    name="lstt")
+                    dtype=self.dtype, name="lstt")
 
     def _decoder_indim(self) -> int:
         cfg = self.cfg
@@ -120,12 +124,13 @@ class AOT(nn.Module):
     def lstt_forward(self, feat: jnp.ndarray, bank, slot_mask, short,
                      id_emb, self_pos, cur_pe, slot_pe,
                      size_2d: Tuple[int, int], need_record: bool = False,
-                     deterministic: bool = True, dp_rng=None):
+                     deterministic: bool = True, dp_rng=None,
+                     use_pallas: bool = False):
         """feat [B,HW,C]. bank/short: tuples of per-plane [L,...] arrays
         (k, v[, id_v]) or None for the reference frame."""
         return self.lstt(feat, bank, slot_mask, short, id_emb, self_pos,
                          cur_pe, slot_pe, size_2d, need_record,
-                         deterministic, dp_rng)
+                         deterministic, dp_rng, use_pallas)
 
     def write_memories(self, mems: Dict[str, jnp.ndarray], id_emb):
         """Project pending emissions into (long, short) write tuples.

@@ -23,6 +23,7 @@ class FPNSegmentationHead(nn.Module):
     hidden_dim: int = 256
     shortcut_dims: Sequence[int] = (24, 32, 96, 1280)
     align_corners: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray],
@@ -35,16 +36,19 @@ class FPNSegmentationHead(nn.Module):
             x = inputs[-1]
 
         hd = self.hidden_dim
-        x = nn.relu(ConvGN(hd, 1, name="conv_in")(x))
-        s16 = conv(hd, 1, name="adapter_16x")(shortcuts[-2])
-        x = nn.relu(ConvGN(hd, 3, name="conv_16x")(s16 + x))
+        dt = self.dtype
+        x = nn.relu(ConvGN(hd, 1, name="conv_in", dtype=dt)(x))
+        s16 = conv(hd, 1, name="adapter_16x", dtype=dt)(shortcuts[-2])
+        x = nn.relu(ConvGN(hd, 3, name="conv_16x", dtype=dt)(s16 + x))
 
         x = resize_bilinear(x, shortcuts[-3].shape[1:3], self.align_corners)
-        s8 = conv(hd, 1, name="adapter_8x")(shortcuts[-3])
-        x = nn.relu(ConvGN(hd // 2, 3, name="conv_8x")(s8 + x))
+        s8 = conv(hd, 1, name="adapter_8x", dtype=dt)(shortcuts[-3])
+        x = nn.relu(ConvGN(hd // 2, 3, name="conv_8x", dtype=dt)(s8 + x))
 
         x = resize_bilinear(x, shortcuts[-4].shape[1:3], self.align_corners)
-        s4 = conv(hd // 2, 1, name="adapter_4x")(shortcuts[-4])
-        x = nn.relu(ConvGN(hd // 2, 3, name="conv_4x")(s4 + x))
+        s4 = conv(hd // 2, 1, name="adapter_4x", dtype=dt)(shortcuts[-4])
+        x = nn.relu(ConvGN(hd // 2, 3, name="conv_4x", dtype=dt)(s4 + x))
 
-        return conv(self.out_dim, 1, name="conv_out")(x)
+        # logits in fp32: downstream masking/softmax/interpolation stability
+        return conv(self.out_dim, 1, name="conv_out",
+                    dtype=jnp.float32)(x.astype(jnp.float32))

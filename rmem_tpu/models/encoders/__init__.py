@@ -4,14 +4,18 @@ from __future__ import annotations
 
 from rmem_tpu.models.encoders.resnet import ResNet50, ResNet101  # noqa: F401
 from rmem_tpu.models.encoders.mobilenet import MobileNetV2  # noqa: F401
+from rmem_tpu.models.encoders.tiny import TinyEncoder  # noqa: F401
 
 
-def build_encoder(name: str):
+def build_encoder(name: str, dtype=None):
     if name == "resnet50":
-        return ResNet50()
+        return ResNet50(dtype=dtype)
     if name == "resnet101":
-        return ResNet101()
+        return ResNet101(dtype=dtype)
     if name == "mobilenetv2":
-        return MobileNetV2()
+        return MobileNetV2(dtype=dtype)
+    if name == "tiny":
+        return TinyEncoder(dtype=dtype)
     raise NotImplementedError(f"encoder {name!r} not implemented "
-                              "(have: resnet50, resnet101, mobilenetv2)")
+                              "(have: resnet50, resnet101, mobilenetv2, "
+                              "tiny)")

@@ -33,12 +33,13 @@ class ConvBNReLU6(nn.Module):
     stride: int = 1
     groups: int = 1
     dilation: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         x = conv(self.features, self.kernel, stride=self.stride,
                  dilation=self.dilation, bias=False, groups=self.groups,
-                 name="conv")(x)
+                 name="conv", dtype=self.dtype)(x)
         x = FoldedBN(self.features, name="bn")(x)
         return _relu6(x)
 
@@ -49,17 +50,20 @@ class InvertedResidual(nn.Module):
     stride: int
     dilation: int
     expand: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         hidden = int(round(self.inp * self.expand))
         out = x
         if self.expand != 1:
-            out = ConvBNReLU6(hidden, kernel=1, name="pw")(out)
+            out = ConvBNReLU6(hidden, kernel=1, name="pw",
+                              dtype=self.dtype)(out)
         out = ConvBNReLU6(hidden, kernel=3, stride=self.stride,
                           dilation=self.dilation, groups=hidden,
-                          name="dw")(out)
-        out = conv(self.oup, 1, bias=False, name="pw_linear")(out)
+                          name="dw", dtype=self.dtype)(out)
+        out = conv(self.oup, 1, bias=False, name="pw_linear",
+                   dtype=self.dtype)(out)
         out = FoldedBN(self.oup, name="bn_out")(out)
         if self.stride == 1 and self.inp == self.oup:
             out = out + x
@@ -82,6 +86,7 @@ _TAPS = (4, 7, 14)  # feature indices ending the 4x / 8x / 16x stages
 class MobileNetV2(nn.Module):
     output_stride: int = 16
     width_mult: float = 1.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
@@ -89,7 +94,8 @@ class MobileNetV2(nn.Module):
         last_channel = _make_divisible(1280 * max(1.0, self.width_mult))
 
         feats: List[jnp.ndarray] = []
-        x = ConvBNReLU6(input_channel, kernel=3, stride=2, name="stem")(x)
+        x = ConvBNReLU6(input_channel, kernel=3, stride=2, name="stem",
+                        dtype=self.dtype)(x)
         idx = 1
         current_stride, rate = 2, 1
         xs = []
@@ -107,11 +113,12 @@ class MobileNetV2(nn.Module):
                     inp, oup,
                     stride if i == 0 else 1,
                     dilation if i == 0 else rate,
-                    t, name=f"block{idx}")(x)
+                    t, name=f"block{idx}", dtype=self.dtype)(x)
                 inp = oup
                 idx += 1
                 if idx in _TAPS:
                     xs.append(x)
-        x = ConvBNReLU6(last_channel, kernel=1, name="head")(x)
+        x = ConvBNReLU6(last_channel, kernel=1, name="head",
+                        dtype=self.dtype)(x)
         xs.append(x)
         return tuple(xs)

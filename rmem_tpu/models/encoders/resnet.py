@@ -24,22 +24,27 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     has_downsample: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        out = conv(self.planes, 1, bias=False, name="conv1")(x)
+        out = conv(self.planes, 1, bias=False, name="conv1",
+                   dtype=self.dtype)(x)
         out = FoldedBN(self.planes, name="bn1")(out)
         out = nn.relu(out)
         out = conv(self.planes, 3, stride=self.stride,
-                   dilation=self.dilation, bias=False, name="conv2")(out)
+                   dilation=self.dilation, bias=False, name="conv2",
+                   dtype=self.dtype)(out)
         out = FoldedBN(self.planes, name="bn2")(out)
         out = nn.relu(out)
-        out = conv(self.planes * 4, 1, bias=False, name="conv3")(out)
+        out = conv(self.planes * 4, 1, bias=False, name="conv3",
+                   dtype=self.dtype)(out)
         out = FoldedBN(self.planes * 4, name="bn3")(out)
         if self.has_downsample:
             residual = conv(self.planes * 4, 1, stride=self.stride,
-                            bias=False, name="downsample_conv")(x)
+                            bias=False, name="downsample_conv",
+                            dtype=self.dtype)(x)
             residual = FoldedBN(self.planes * 4, name="downsample_bn")(residual)
         return nn.relu(out + residual)
 
@@ -48,10 +53,12 @@ class ResNet(nn.Module):
     """Returns the 4-level pyramid [4x, 8x, 16x, 16x] (resnet.py:178-195)."""
 
     layers: Sequence[int] = (3, 4, 6, 3)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
-        x = conv(64, 7, stride=2, bias=False, name="conv1")(x)
+        x = conv(64, 7, stride=2, bias=False, name="conv1",
+                 dtype=self.dtype)(x)
         x = FoldedBN(64, name="bn1")(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
@@ -67,15 +74,16 @@ class ResNet(nn.Module):
                     dilation=1,
                     has_downsample=(i == 0),
                     name=f"layer{stage}_{i}",
+                    dtype=self.dtype,
                 )(x)
             xs.append(x)
         xs.append(x)  # 16x duplicated (STMVOS convention, resnet.py:192-194)
         return tuple(xs)
 
 
-def ResNet50() -> ResNet:
-    return ResNet(layers=(3, 4, 6, 3))
+def ResNet50(dtype=None) -> ResNet:
+    return ResNet(layers=(3, 4, 6, 3), dtype=dtype)
 
 
-def ResNet101() -> ResNet:
-    return ResNet(layers=(3, 4, 23, 3))
+def ResNet101(dtype=None) -> ResNet:
+    return ResNet(layers=(3, 4, 23, 3), dtype=dtype)

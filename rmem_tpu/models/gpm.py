@@ -23,7 +23,8 @@ from typing import Any, Dict, List, Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from rmem_tpu.ops.attention import (bank_attention, dense_local_attention,
+from rmem_tpu.ops.attention import (bank_attention_dispatch,
+                                    dense_local_attention,
                                     interleave_heads, multihead_attention)
 from rmem_tpu.ops.layers import DWConv2d, drop_path, layer_norm, silu
 
@@ -36,10 +37,13 @@ class GatedTail(nn.Module):
 
     expand_dim: int
     out_dim: int
+    dtype: object = None
 
     def setup(self):
-        self.dw_conv = DWConv2d(self.expand_dim, name="dw_conv")
-        self.projection = nn.Dense(self.out_dim, name="projection")
+        self.dw_conv = DWConv2d(self.expand_dim, name="dw_conv",
+                                dtype=self.dtype)
+        self.projection = nn.Dense(self.out_dim, name="projection",
+                                   dtype=self.dtype)
 
     def __call__(self, agg, gate, size_2d, deterministic=True):
         out = agg * gate
@@ -54,16 +58,19 @@ class GatedSelfAttention(nn.Module):
     d_vu: int          # 512
     num_heads: int
     d_att: int         # 128
+    dtype: object = None
 
     def setup(self):
+        dt = self.dtype
         self.linear_QK = nn.Dense(self.d_att * self.num_heads,
-                                  name="linear_QK")
+                                  name="linear_QK", dtype=dt)
         half = self.d_vu  # hidden*heads/2 with expand 2
-        self.linear_V1 = nn.Dense(half, name="linear_V1")
-        self.linear_V2 = nn.Dense(half, name="linear_V2")
-        self.linear_U1 = nn.Dense(half, name="linear_U1")
-        self.linear_U2 = nn.Dense(half, name="linear_U2")
-        self.tail = GatedTail(2 * self.d_vu, self.d_vu, name="tail")
+        self.linear_V1 = nn.Dense(half, name="linear_V1", dtype=dt)
+        self.linear_V2 = nn.Dense(half, name="linear_V2", dtype=dt)
+        self.linear_U1 = nn.Dense(half, name="linear_U1", dtype=dt)
+        self.linear_U2 = nn.Dense(half, name="linear_U2", dtype=dt)
+        self.tail = GatedTail(2 * self.d_vu, self.d_vu, name="tail",
+                              dtype=dt)
 
     def __call__(self, x, size_2d, deterministic=True):
         qk = self.linear_QK(x)
@@ -87,34 +94,41 @@ class GPMBlock(nn.Module):
     layer_idx: int
     droppath: float = 0.1
     expand_ratio: float = 2.0
+    dtype: object = None
 
     def setup(self):
         d = self.d_model
+        dt = self.dtype
         self.expand_d = int(d * self.expand_ratio)        # 512
         self.d_att = d // 2 if self.att_heads == 1 else d // self.att_heads
         win2 = (2 * MAX_LOCAL_DIS + 1) ** 2
 
         self.norm1 = layer_norm("norm1")
         self.linear_QV = nn.Dense(self.d_att * self.att_heads + self.expand_d,
-                                  name="linear_QV")
-        self.linear_U = nn.Dense(self.expand_d, name="linear_U")
+                                  name="linear_QV", dtype=dt)
+        self.linear_U = nn.Dense(self.expand_d, name="linear_U", dtype=dt)
         if self.layer_idx == 0:
-            self.linear_ID_V = nn.Dense(self.expand_d, name="linear_ID_V")
+            self.linear_ID_V = nn.Dense(self.expand_d, name="linear_ID_V",
+                                        dtype=dt)
         else:
             self.id_norm1 = layer_norm("id_norm1")
-            self.linear_ID_V = nn.Dense(self.expand_d, name="linear_ID_V")
-            self.linear_ID_U = nn.Dense(self.expand_d, name="linear_ID_U")
+            self.linear_ID_V = nn.Dense(self.expand_d, name="linear_ID_V",
+                                        dtype=dt)
+            self.linear_ID_U = nn.Dense(self.expand_d, name="linear_ID_U",
+                                        dtype=dt)
 
-        self.long_tail = GatedTail(2 * self.expand_d, 2 * d, name="long_tail")
+        self.long_tail = GatedTail(2 * self.expand_d, 2 * d, name="long_tail",
+                                   dtype=dt)
         self.relative_emb_k = nn.Dense(self.att_heads * win2,
-                                       name="relative_emb_k")
+                                       name="relative_emb_k", dtype=dt)
         self.short_tail = GatedTail(2 * self.expand_d, 2 * d,
-                                    name="short_tail")
+                                    name="short_tail", dtype=dt)
 
         self.norm2 = layer_norm("norm2")
         self.id_norm2 = layer_norm("id_norm2")
         self.self_attn = GatedSelfAttention(2 * d, self.self_heads,
-                                            self.d_att, name="self_attn")
+                                            self.d_att, name="self_attn",
+                                            dtype=dt)
 
     def fuse_id_value(self, curr_id_v, id_emb):
         """(transformer.py:1238-1244): layer 0 embeds the id alone; deeper
@@ -126,7 +140,8 @@ class GPMBlock(nn.Module):
 
     def __call__(self, tgt, tgt_id, bank_k, bank_v, bank_id_v, slot_mask,
                  short_k, short_v, short_id_v, id_emb, cur_pe, slot_pe,
-                 size_2d, need_record=False, deterministic=True, dp_rng=None):
+                 size_2d, need_record=False, deterministic=True, dp_rng=None,
+                 use_pallas=False):
         _tgt = self.norm1(tgt)
         qv = self.linear_QV(_tgt)
         curr_q = curr_k = qv[..., : self.d_att * self.att_heads]
@@ -155,9 +170,10 @@ class GPMBlock(nn.Module):
         bk = bank_k + slot_pe[:, None, None, :].astype(bank_k.dtype) \
             if slot_pe is not None else bank_k
         cat_bank_v = jnp.concatenate([bank_v, bank_id_v], axis=-1)
-        agg, record = bank_attention(q_t, bk, cat_bank_v, slot_mask,
-                                     self.att_heads, need_record=need_record,
-                                     scale=self.d_att ** -0.5)
+        agg, record = bank_attention_dispatch(
+            q_t, bk, cat_bank_v, slot_mask, self.att_heads,
+            need_record=need_record, scale=self.d_att ** -0.5,
+            use_pallas=use_pallas)
         cat_tgt2 = self.long_tail(agg, cat_u, size_2d, deterministic)
 
         cat_local_v = jnp.concatenate([short_v, short_id_v], axis=-1)
@@ -202,11 +218,13 @@ class GPM(nn.Module):
     droppath: float = 0.1
     intermediate_norm: bool = False
     final_norm: bool = True
+    dtype: object = None
 
     def setup(self):
         self.blocks = [
             GPMBlock(self.d_model, self.self_heads, self.att_heads,
-                     layer_idx=i, droppath=self.droppath, name=f"block{i}")
+                     layer_idx=i, droppath=self.droppath, dtype=self.dtype,
+                     name=f"block{i}")
             for i in range(self.num_layers)
         ]
         num_norms = (self.num_layers - 1 if self.intermediate_norm else 0)
@@ -220,7 +238,7 @@ class GPM(nn.Module):
 
     def __call__(self, tgt, bank, slot_mask, short, id_emb, self_pos,
                  cur_pe, slot_pe, size_2d, need_record=False,
-                 deterministic=True, dp_rng=None):
+                 deterministic=True, dp_rng=None, use_pallas=False):
         """bank: (k, v, id_v) each [L,S,B,HW,*] or None; short likewise
         [L,B,HW,*]. self_pos is unused by GPM (reference parity). Returns
         (intermediates [L x (B,HW,2C)], mems, record)."""
@@ -240,7 +258,8 @@ class GPM(nn.Module):
                 out, out_id, bk, bv, biv, slot_mask, sk, sv, siv, id_emb,
                 cur_pe, slot_pe, size_2d,
                 need_record=(need_record and i == 0),
-                deterministic=deterministic, dp_rng=dp_rng)
+                deterministic=deterministic, dp_rng=dp_rng,
+                use_pallas=use_pallas)
             if i == 0:
                 record0 = rec
             intermediates.append(jnp.concatenate([out, out_id], axis=-1))

@@ -25,7 +25,8 @@ from typing import Any, Dict, List, Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from rmem_tpu.ops.attention import bank_attention, multihead_attention
+from rmem_tpu.ops.attention import (bank_attention_dispatch,
+                                    multihead_attention)
 from rmem_tpu.ops.layers import GNActDWConv2d, drop_path, layer_norm
 
 
@@ -35,13 +36,18 @@ class MultiheadAttentionModule(nn.Module):
     d_model: int
     num_heads: int
     use_linear: bool = True
+    dtype: object = None
 
     def setup(self):
         if self.use_linear:
-            self.linear_Q = nn.Dense(self.d_model, name="linear_Q")
-            self.linear_K = nn.Dense(self.d_model, name="linear_K")
-            self.linear_V = nn.Dense(self.d_model, name="linear_V")
-        self.projection = nn.Dense(self.d_model, name="projection")
+            self.linear_Q = nn.Dense(self.d_model, name="linear_Q",
+                                     dtype=self.dtype)
+            self.linear_K = nn.Dense(self.d_model, name="linear_K",
+                                     dtype=self.dtype)
+            self.linear_V = nn.Dense(self.d_model, name="linear_V",
+                                     dtype=self.dtype)
+        self.projection = nn.Dense(self.d_model, name="projection",
+                                   dtype=self.dtype)
 
     def __call__(self, q, k, v):
         if self.use_linear:
@@ -65,30 +71,35 @@ class LSTTBlock(nn.Module):
     dim_feedforward: int
     linear_q: bool = False
     droppath: float = 0.1
+    dtype: object = None
 
     def setup(self):
+        dt = self.dtype
         self.norm1 = layer_norm("norm1")
         self.self_attn = MultiheadAttentionModule(
-            self.d_model, self.self_heads, name="self_attn")
+            self.d_model, self.self_heads, name="self_attn", dtype=dt)
         self.norm2 = layer_norm("norm2")
-        self.linear_Q = nn.Dense(self.d_model, name="linear_Q")
-        self.linear_V = nn.Dense(self.d_model, name="linear_V")
-        self.linear_QMem = nn.Dense(self.d_model, name="linear_QMem")
-        self.linear_VMem = nn.Dense(self.d_model, name="linear_VMem")
+        self.linear_Q = nn.Dense(self.d_model, name="linear_Q", dtype=dt)
+        self.linear_V = nn.Dense(self.d_model, name="linear_V", dtype=dt)
+        self.linear_QMem = nn.Dense(self.d_model, name="linear_QMem",
+                                    dtype=dt)
+        self.linear_VMem = nn.Dense(self.d_model, name="linear_VMem",
+                                    dtype=dt)
         if not self.linear_q:
             self.norm4 = layer_norm("norm4")
-        self.long_proj = nn.Dense(self.d_model, name="long_proj")
-        self.short_proj = nn.Dense(self.d_model, name="short_proj")
+        self.long_proj = nn.Dense(self.d_model, name="long_proj", dtype=dt)
+        self.short_proj = nn.Dense(self.d_model, name="short_proj", dtype=dt)
         self.norm3 = layer_norm("norm3")
-        self.linear1 = nn.Dense(self.dim_feedforward, name="linear1")
+        self.linear1 = nn.Dense(self.dim_feedforward, name="linear1",
+                                dtype=dt)
         self.activation = GNActDWConv2d(self.dim_feedforward,
-                                        name="activation")
-        self.linear2 = nn.Dense(self.d_model, name="linear2")
+                                        name="activation", dtype=dt)
+        self.linear2 = nn.Dense(self.d_model, name="linear2", dtype=dt)
 
     def __call__(self, tgt, bank_k, bank_v, slot_mask, short_k, short_v,
                  id_emb, self_pos, cur_pe, slot_pe, size_2d,
                  need_record: bool = False, deterministic: bool = True,
-                 dp_rng=None):
+                 dp_rng=None, use_pallas: bool = False):
         """Returns (tgt_out, mems, record).
 
         mems = dict(curr_k, curr_v, short_k, short_v): raw emissions for the
@@ -120,8 +131,9 @@ class LSTTBlock(nn.Module):
         q_t = curr_q + cur_pe if cur_pe is not None else curr_q
         if slot_pe is not None:
             bank_k = bank_k + slot_pe[:, None, None, :].astype(bank_k.dtype)
-        tgt2, record = bank_attention(q_t, bank_k, bank_v, slot_mask,
-                                      self.att_heads, need_record=need_record)
+        tgt2, record = bank_attention_dispatch(
+            q_t, bank_k, bank_v, slot_mask, self.att_heads,
+            need_record=need_record, use_pallas=use_pallas)
         tgt2 = self.long_proj(tgt2)
 
         if self.linear_q:
@@ -167,12 +179,13 @@ class LSTT(nn.Module):
     droppath: float = 0.1
     intermediate_norm: bool = True
     final_norm: bool = True
+    dtype: object = None
 
     def setup(self):
         self.blocks = [
             LSTTBlock(self.d_model, self.self_heads, self.att_heads,
                       self.dim_feedforward, self.linear_q, self.droppath,
-                      name=f"block{i}")
+                      dtype=self.dtype, name=f"block{i}")
             for i in range(self.num_layers)
         ]
         num_norms = (self.num_layers - 1 if self.intermediate_norm else 0)
@@ -183,7 +196,8 @@ class LSTT(nn.Module):
 
     def __call__(self, tgt, bank, slot_mask, short, id_emb, self_pos,
                  cur_pe, slot_pe, size_2d, need_record: bool = False,
-                 deterministic: bool = True, dp_rng=None):
+                 deterministic: bool = True, dp_rng=None,
+                 use_pallas: bool = False):
         """bank: (k [L,S,B,HW,C], v [L,S,B,HW,C]) or None (ref frame).
         short: (k [L,B,HW,C], v) or None.
 
@@ -203,7 +217,8 @@ class LSTT(nn.Module):
             out, mems, rec = block(
                 out, bk, bv, slot_mask, sk, sv, id_emb, self_pos, cur_pe,
                 slot_pe, size_2d, need_record=(need_record and i == 0),
-                deterministic=deterministic, dp_rng=dp_rng)
+                deterministic=deterministic, dp_rng=dp_rng,
+                use_pallas=use_pallas)
             if i == 0:
                 record0 = rec
             intermediates.append(out)

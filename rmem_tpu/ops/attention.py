@@ -150,6 +150,25 @@ def dense_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out, (probs if need_record else None)
 
 
+def bank_attention_dispatch(q, bank_k, bank_v, slot_mask, num_heads: int,
+                            need_record: bool = False,
+                            scale: Optional[float] = None,
+                            use_pallas: bool = False):
+    """Route to the fused Pallas kernel or the XLA einsum formulation.
+
+    The Pallas path derives the valid-slot count from the (prefix) mask; it
+    has no custom VJP yet, so callers must pass use_pallas=False under grad.
+    """
+    if use_pallas:
+        from rmem_tpu.kernels.bank_attention import pallas_bank_attention
+        count = jnp.sum(slot_mask.astype(jnp.int32))
+        out, rec = pallas_bank_attention(q, bank_k, bank_v, count, num_heads,
+                                         scale=scale)
+        return out, (rec if need_record else None)
+    return bank_attention(q, bank_k, bank_v, slot_mask, num_heads,
+                          need_record=need_record, scale=scale)
+
+
 def interleave_heads(x1: jnp.ndarray, x2: jnp.ndarray,
                      num_heads: int) -> jnp.ndarray:
     """GatedPropagation's per-head concat of two half-value streams

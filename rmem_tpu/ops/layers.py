@@ -38,14 +38,17 @@ class FoldedBN(nn.Module):
 
 def conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
          bias: bool = True, groups: int = 1, name: Optional[str] = None,
-         padding=None) -> nn.Conv:
-    """torch-style conv: explicit symmetric padding k//2*dilation."""
+         padding=None, dtype=None) -> nn.Conv:
+    """torch-style conv: explicit symmetric padding k//2*dilation.
+    `dtype` is the computation dtype (bf16 on the fast path); params stay
+    fp32 (mixed precision, the reference's AMP equivalent)."""
     if padding is None:
         pad = (kernel // 2) * dilation
         padding = ((pad, pad), (pad, pad))
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    kernel_dilation=(dilation, dilation), padding=padding,
-                   use_bias=bias, feature_group_count=groups, name=name)
+                   use_bias=bias, feature_group_count=groups, name=name,
+                   dtype=dtype)
 
 
 def max_pool_3x3_s2(x):
@@ -60,12 +63,14 @@ class ConvGN(nn.Module):
     out_dim: int
     kernel_size: int
     gn_groups: int = 8
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x):
-        x = conv(self.out_dim, self.kernel_size, name="conv")(x)
+        x = conv(self.out_dim, self.kernel_size, name="conv",
+                 dtype=self.dtype)(x)
         return nn.GroupNorm(num_groups=self.gn_groups, epsilon=GN_EPS,
-                            name="gn")(x)
+                            name="gn", dtype=self.dtype)(x)
 
 
 class GNActDWConv2d(nn.Module):
@@ -74,6 +79,7 @@ class GNActDWConv2d(nn.Module):
 
     indim: int
     gn_groups: int = 32
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, size_2d: Tuple[int, int]):
@@ -81,10 +87,10 @@ class GNActDWConv2d(nn.Module):
         b, hw, c = x.shape
         x2 = x.reshape(b, h, w, c)
         x2 = nn.GroupNorm(num_groups=self.gn_groups, epsilon=GN_EPS,
-                          name="gn")(x2)
+                          name="gn", dtype=self.dtype)(x2)
         x2 = jax.nn.gelu(x2, approximate=False)
         x2 = conv(self.indim, 5, bias=False, groups=self.indim,
-                  name="conv")(x2)
+                  name="conv", dtype=self.dtype)(x2)
         return x2.reshape(b, hw, c)
 
 
@@ -93,6 +99,7 @@ class DWConv2d(nn.Module):
 
     indim: int
     dropout: float = 0.1
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, size_2d: Tuple[int, int],
@@ -101,7 +108,7 @@ class DWConv2d(nn.Module):
         b, hw, c = x.shape
         x2 = x.reshape(b, h, w, c)
         x2 = conv(self.indim, 5, bias=False, groups=self.indim,
-                  name="conv")(x2)
+                  name="conv", dtype=self.dtype)(x2)
         x2 = x2.reshape(b, hw, c)
         if self.dropout > 0.0 and not deterministic:
             # torch Dropout2d over channels of [B,C,H,W]: per (B, C) mask

@@ -46,6 +46,23 @@ def id_shuffle_matrix(key: jax.Array, dim: int, batch: int,
     return jax.vmap(one)(keys)
 
 
+def host_id_shuffle_matrix(rng, dim: int, batch: int,
+                           keep_first: bool = True):
+    """Host-side (numpy) variant of id_shuffle_matrix for feeding the train
+    step (aot_plus/utils/math.py:4-14). rng: np.random.RandomState."""
+    import numpy as np
+    eye = np.eye(dim, dtype=np.float32)
+    out = np.zeros((batch, dim, dim), np.float32)
+    for i in range(batch):
+        if keep_first:
+            perm = rng.permutation(dim - 1) + 1
+            rows = np.concatenate([[0], perm])
+        else:
+            rows = rng.permutation(dim)
+        out[i] = eye[rows]
+    return out
+
+
 def apply_ignore_token(one_hot: jnp.ndarray, ignore: jnp.ndarray,
                        shuffle: jnp.ndarray | None = None) -> jnp.ndarray:
     """Build the (obj+2)-channel id-bank input: zero background where ignored,

@@ -50,12 +50,14 @@ def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh):
 
 def make_parallel_train_step(step_fn, mesh: Mesh):
     """jit the train step with explicit shardings: state replicated, batch
-    sharded on 'data'. XLA auto-inserts the gradient all-reduce."""
+    and per-sample shuffle sharded on 'data'. XLA auto-inserts the gradient
+    all-reduce."""
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(
         step_fn,
-        in_shardings=(rep, {"imgs": bsh, "labels": bsh, "obj_nums": bsh}, rep),
+        in_shardings=(rep, {"imgs": bsh, "labels": bsh, "obj_nums": bsh},
+                      bsh),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )

@@ -39,7 +39,7 @@ def test_train_forward_finite(model_name):
 
 
 def test_train_step_loss_decreases():
-    cfg = get_config("test", model="r50_deaotl", train_total_steps=100,
+    cfg = get_config("test", model="tiny_deaotl", train_total_steps=100,
                      train_lr=1e-3)
     model = build_vos_model(cfg.model_vos, cfg)
     params = init_params(model, jax.random.PRNGKey(0), HW)
@@ -47,9 +47,12 @@ def test_train_step_loss_decreases():
     state = TrainState.create(params, cfg)
     step = jax.jit(make_train_step(model, cfg, tx))
     batch = _batch(1, 3)
+    from rmem_tpu.ops.masks import host_id_shuffle_matrix
+    rng = np.random.RandomState(0)
     losses = []
     for i in range(4):
-        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        shuffle = jnp.asarray(host_id_shuffle_matrix(rng, 11, 1))
+        state, metrics = step(state, batch, shuffle)
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
@@ -59,7 +62,7 @@ def test_train_step_loss_decreases():
 def test_parallel_train_step_multidev():
     if len(jax.devices()) < 2:
         pytest.skip("needs 2+ virtual devices")
-    cfg = get_config("test", model="r50_deaotl", train_total_steps=100)
+    cfg = get_config("test", model="tiny_deaotl", train_total_steps=100)
     model = build_vos_model(cfg.model_vos, cfg)
     params = init_params(model, jax.random.PRNGKey(0), HW)
     tx = make_optimizer(params, cfg)
@@ -67,7 +70,10 @@ def test_parallel_train_step_multidev():
     mesh = make_mesh((2,), ("data",))
     pstep = make_parallel_train_step(make_train_step(model, cfg, tx), mesh)
     batch = shard_batch(_batch(2, 2), mesh)
-    state, metrics = pstep(state, batch, jax.random.PRNGKey(0))
+    from rmem_tpu.ops.masks import host_id_shuffle_matrix
+    shuffle = jnp.asarray(host_id_shuffle_matrix(np.random.RandomState(0),
+                                                 11, 2))
+    state, metrics = pstep(state, batch, shuffle)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
 
