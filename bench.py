@@ -29,6 +29,8 @@ ITERS = 30
 
 
 def main():
+    from rmem_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     from rmem_tpu.config import get_config
     from rmem_tpu.engine import InferenceEngine
     from rmem_tpu.models import build_vos_model, init_params
@@ -50,11 +52,8 @@ def main():
               for _ in range(4)]
 
     def step(state, img):
-        state, logits = engine.propagate(state, img)
-        full = engine.predict_logits_at(logits, HW)
-        label = jnp.argmax(full, axis=-1).astype(jnp.int32)
-        state = engine.update_memory(state, label)
-        return state, label
+        # fused single-dispatch propagate+argmax+update
+        return engine.step(state, img, HW)
 
     for i in range(WARMUP):
         state, label = step(state, frames[i % len(frames)])

@@ -290,9 +290,10 @@ STAGE_PRESETS: Dict[str, Dict[str, Any]] = {
                        model_linear_q=False, model_ignore_token=True,
                        train_auto_resume=False, pretrain_full=True),
     # synthetic smoke stage (reference TEST dataset path,
-    # dataloaders/train_datasets.py:821-854)
-    "test": dict(datasets=("test",), train_total_steps=100, data_seq_len=5,
-                 train_batch_size=2, pretrain=False, train_auto_resume=False),
+    # dataloaders/train_datasets.py:821-854); small crops for fast compiles
+    "test": dict(datasets=("test",), train_total_steps=100, data_seq_len=3,
+                 train_batch_size=2, pretrain=False, train_auto_resume=False,
+                 data_randomcrop=(129, 129)),
 }
 
 

@@ -156,6 +156,33 @@ class LongVideosTestDataset:
                              images, labels, single_obj=True)
 
 
+class YouTubeVOSTestDataset:
+    """YouTube-VOS val (eval_datasets.py:190-271): sparse JPEG set with
+    per-object first-appearance annotations (multiple label files drive
+    mid-video new-object introduction); `dense` scores every frame from the
+    _all_frames image set against the sparse annotations
+    (eval_datasets.py:201-210)."""
+
+    def __init__(self, root: str, year: int = 2019, split: str = "valid",
+                 dense: bool = False):
+        base = os.path.join(root, f"{year}", split)
+        self.image_root = os.path.join(
+            base + ("_all_frames" if dense else ""), "JPEGImages")
+        self.label_root = os.path.join(base, "Annotations")
+        self.seq_names = sorted(os.listdir(self.label_root))
+
+    def __len__(self):
+        return len(self.seq_names)
+
+    def sequence(self, idx: int) -> VideoSequence:
+        name = self.seq_names[idx]
+        images = sorted(os.listdir(os.path.join(self.image_root, name)))
+        # all annotated frames participate (new objects appear mid-video)
+        labels = sorted(os.listdir(os.path.join(self.label_root, name)))
+        return VideoSequence(name, self.image_root, self.label_root,
+                             images, labels)
+
+
 class _SyntheticSequence(VideoSequence):
     """3 sequences x N zero frames with a 2-object first mask
     (eval_datasets.py:457-514)."""
@@ -210,4 +237,10 @@ def build_eval_dataset(cfg, data_root: Optional[str] = None):
     if name == "long_videos":
         return LongVideosTestDataset(os.path.join(root, "long_videos"),
                                      cfg.test_dataset_split)
+    if name == "youtubevos":
+        return YouTubeVOSTestDataset(os.path.join(root, "YTB"),
+                                     split="valid")
+    if name == "youtubevos_dense":
+        return YouTubeVOSTestDataset(os.path.join(root, "YTB"),
+                                     split="valid", dense=True)
     raise NotImplementedError(f"eval dataset {name!r}")

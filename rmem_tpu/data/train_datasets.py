@@ -174,6 +174,41 @@ def _dynamic_merge(imgs1, labels1, n1, imgs2, labels2, n2,
     return out_imgs, out_labels, n1 + n2
 
 
+class StaticTrainDataset:
+    """Static-image pretrain: one image jittered into a fake clip via random
+    affine crops (train_datasets.py:92-235, image_transforms.py:57-448 in
+    spirit — full affine pipeline is approximated by repeated scaled crops).
+    """
+
+    def __init__(self, image_root: str, label_root: str, names: List[str],
+                 seq_len: int = 5, crop_hw=(465, 465)):
+        self.image_root = image_root
+        self.label_root = label_root
+        self.names = names
+        self.seq_len = seq_len
+        self.crop_hw = crop_hw
+
+    def __len__(self):
+        return len(self.names)
+
+    def sample_clip(self, rng: np.random.RandomState):
+        from PIL import Image
+        name = self.names[rng.randint(0, len(self.names))]
+        img = cv2.imread(os.path.join(self.image_root, name))[:, :, ::-1]
+        label = np.asarray(Image.open(os.path.join(
+            self.label_root, os.path.splitext(name)[0] + ".png")), np.uint8)
+        imgs, labels = [], []
+        for _ in range(self.seq_len):
+            ims, lbs = random_scale([img], [label], rng)
+            imgs.append(ims[0])
+            labels.append(lbs[0])
+        imgs, labels, obj_num = balanced_random_crop(imgs, labels, rng,
+                                                     self.crop_hw)
+        imgs = np.stack([normalize_image(im.astype(np.uint8))
+                         for im in imgs])
+        return imgs, np.stack(labels).astype(np.int32), obj_num
+
+
 def build_train_dataset(cfg, data_root: Optional[str] = None):
     """Dataset dispatch (trainer.py:282-395)."""
     root = data_root or cfg.dir_data
@@ -213,6 +248,26 @@ def build_train_dataset(cfg, data_root: Optional[str] = None):
                 min_scale=cfg.data_min_scale_factor,
                 max_scale=cfg.data_max_scale_factor,
                 flip_prob=cfg.data_randomflip))
+        elif name == "youtubevos":
+            base = os.path.join(root, "YTB", "2019", "train")
+            seqs = sorted(os.listdir(os.path.join(base, "Annotations")))
+            datasets.append(VOSTrainDataset(
+                os.path.join(base, "JPEGImages"),
+                os.path.join(base, "Annotations"), seqs,
+                seq_len=cfg.data_seq_len, rand_gap=cfg.data_random_gap_ytb,
+                crop_hw=cfg.data_randomcrop,
+                merge_prob=cfg.data_dynamic_merge_prob,
+                short_edge=cfg.data_short_edge_len,
+                min_scale=cfg.data_min_scale_factor,
+                max_scale=cfg.data_max_scale_factor,
+                flip_prob=cfg.data_randomflip))
+        elif name == "static":
+            base = os.path.join(root, "Static")
+            names = sorted(os.listdir(os.path.join(base, "JPEGImages")))
+            datasets.append(StaticTrainDataset(
+                os.path.join(base, "JPEGImages"),
+                os.path.join(base, "Annotations"), names,
+                seq_len=cfg.data_seq_len, crop_hw=cfg.data_randomcrop))
         else:
             raise NotImplementedError(f"train dataset {name!r}")
     return ConcatClipDataset(datasets)

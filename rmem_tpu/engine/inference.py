@@ -95,6 +95,8 @@ class InferenceEngine:
         self._propagate = jax.jit(self._propagate_impl,
                                   donate_argnums=donate_args)
         self._update = jax.jit(self._update_impl, donate_argnums=donate_args)
+        self._step = jax.jit(self._step_impl, donate_argnums=donate_args,
+                             static_argnames=("out_hw",))
 
     # -- helpers -------------------------------------------------------
     def _apply(self, params, method, *args, **kw):
@@ -218,6 +220,28 @@ class InferenceEngine:
             last_mem_step=jnp.where(do_long, state.frame_step,
                                     state.last_mem_step),
         )
+
+    # -- fused streaming step -------------------------------------------
+    def _step_impl(self, params, state: EngineState, img, out_hw):
+        """propagate -> upsample -> argmax -> update_memory in ONE dispatch.
+
+        The fast path for the common single-group, single-aug case: per-frame
+        Python/jit dispatch overhead dominates on slow hosts, and the
+        reference pays it four times per frame (propagate, softmax, argmax,
+        update). Returns (state, label [B,H,W] int32, probs? None)."""
+        state, logits4 = self._propagate_impl(params, state, img)
+        logits = resize_bilinear(logits4, out_hw,
+                                 self.cfg.model_align_corners)
+        merged = soft_logit_aggregation(logits, self.cfg.model_max_obj_num)
+        label_full = jnp.argmax(merged, axis=-1).astype(jnp.int32)
+        glabels = separate_mask(label_full[None], logits.shape[0],
+                                self.cfg.model_max_obj_num)
+        state = self._update_impl(params, state, glabels)
+        return state, label_full
+
+    def step(self, state: EngineState, img, out_hw: Tuple[int, int]):
+        """Fused propagate+update; returns (state, merged label at out_hw)."""
+        return self._step(self.params, state, img, out_hw=out_hw)
 
     def _enc_hw(self, state: EngineState) -> Tuple[int, int]:
         """16x grid dims from the (static) 4x logits shape."""

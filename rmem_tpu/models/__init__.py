@@ -37,12 +37,16 @@ def init_forward(model, img, id_one_hot):
 
 def init_params(model, rng: jax.Array, input_hw: Tuple[int, int] = (65, 65),
                 batch: int = 1):
-    """Initialize a parameter pytree for the given input size."""
+    """Initialize a parameter pytree for the given input size.
+
+    jitted: eager linen init dispatches hundreds of tiny ops, which costs
+    minutes on slow hosts."""
     cfg = model.cfg
     img = jnp.zeros((batch, *input_hw, 3), jnp.float32)
     id_oh = jnp.zeros((batch, *input_hw, cfg.id_channels), jnp.float32)
-    variables = model.init(rng, img, id_oh, method=init_forward)
-    return variables["params"]
+    init_fn = jax.jit(lambda r: model.init(r, img, id_oh,
+                                           method=init_forward))
+    return init_fn(rng)["params"]
 
 
 def load_model_params(model, path: str, log=print):

@@ -5,6 +5,7 @@ from __future__ import annotations
 from rmem_tpu.models.encoders.resnet import ResNet50, ResNet101  # noqa: F401
 from rmem_tpu.models.encoders.mobilenet import MobileNetV2  # noqa: F401
 from rmem_tpu.models.encoders.tiny import TinyEncoder  # noqa: F401
+from rmem_tpu.models.encoders.swin import SwinB  # noqa: F401
 
 
 def build_encoder(name: str, dtype=None):
@@ -16,6 +17,8 @@ def build_encoder(name: str, dtype=None):
         return MobileNetV2(dtype=dtype)
     if name == "tiny":
         return TinyEncoder(dtype=dtype)
+    if name in ("swin_base", "swinb"):
+        return SwinB(dtype=dtype)
     raise NotImplementedError(f"encoder {name!r} not implemented "
                               "(have: resnet50, resnet101, mobilenetv2, "
                               "tiny)")

@@ -39,6 +39,8 @@ def main():
         test_flip=args.flip, test_multiscale=tuple(args.ms))
 
     from rmem_tpu.managers.evaluator import Evaluator
+    from rmem_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     ev = Evaluator(cfg, data_root=args.data_root,
                    output_root=args.output_root)
     stats = ev.evaluate(max_seqs=args.max_seqs, max_frames=args.max_frames)

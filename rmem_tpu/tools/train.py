@@ -41,6 +41,8 @@ def main():
         np.random.seed(1)
 
     from rmem_tpu.managers.trainer import Trainer
+    from rmem_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     trainer = Trainer(cfg, data_root=args.data_root)
     metrics = trainer.train(max_steps=args.max_steps)
     print("final metrics:", metrics)

@@ -20,3 +20,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: repeat suite runs skip XLA compilation
+from rmem_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache("/tmp/rmem_tpu_jax_cache_cpu")

@@ -29,7 +29,7 @@ def _video(num_frames, seed=0):
     return imgs, mask
 
 
-@pytest.mark.parametrize("model_name", ["r50_aotl", "r50_deaotl"])
+@pytest.mark.parametrize("model_name", ["tiny_aotl", "r50_deaotl"])
 def test_engine_video_loop(model_name):
     cfg, model, params = _make(model_name, latter_mem_len=2)
     engine = InferenceEngine(model, params, cfg, donate=False)
@@ -83,7 +83,7 @@ def test_multi_group_aggregation():
 
 
 def test_engine_no_long_memory_flag():
-    cfg, model, params = _make("r50_aotl", no_long_memory=True)
+    cfg, model, params = _make("tiny_aotl", no_long_memory=True)
     engine = InferenceEngine(model, params, cfg, donate=False)
     imgs, mask = _video(3)
     state, _ = engine.add_reference(jnp.asarray(imgs[0]), jnp.asarray(mask),

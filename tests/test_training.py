@@ -25,7 +25,7 @@ def _batch(b, t, seed=0):
             "obj_nums": jnp.asarray([2] * b)}
 
 
-@pytest.mark.parametrize("model_name", ["r50_aotl", "r50_deaotl"])
+@pytest.mark.parametrize("model_name", ["tiny_aotl", "tiny_deaotl"])
 def test_train_forward_finite(model_name):
     cfg = get_config("test", model=model_name, train_total_steps=100)
     model = build_vos_model(cfg.model_vos, cfg)
