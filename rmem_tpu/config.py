@@ -240,6 +240,10 @@ MODEL_PRESETS: Dict[str, Dict[str, Any]] = {
     "aotl": dict(model_vos="aot", model_engine="aotengine", model_lstt_num=3,
                  train_long_term_mem_gap=2, test_long_term_mem_gap=5),
     "r50_aotl": _r50_common(model_vos="aot", model_engine="aotengine"),
+    "aotl_v3": dict(model_vos="aot", model_engine="aotengine",
+                    model_encoder="mobilenetv3",
+                    model_encoder_dim=(24, 40, 112, 960), model_lstt_num=3,
+                    train_long_term_mem_gap=2, test_long_term_mem_gap=5),
     "swinb_aotl": _r50_common(
         model_vos="aot", model_engine="aotengine", model_encoder="swin_base",
         model_encoder_dim=(128, 256, 512, 512)),

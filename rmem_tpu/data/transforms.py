@@ -69,7 +69,16 @@ def resize_label(label: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
 
 
 def normalize_image(img: np.ndarray) -> np.ndarray:
-    """uint8 HWC -> float32 normalized (video_transforms.py:676-680)."""
+    """uint8 HWC -> float32 normalized (video_transforms.py:676-680).
+    Fused native path when available."""
+    if img.dtype == np.uint8:
+        try:
+            from rmem_tpu.native import normalize_u8
+            out = normalize_u8(img, IMAGENET_MEAN, IMAGENET_STD)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     x = img.astype(np.float32) / 255.0
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 

@@ -97,6 +97,7 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
 
     # 2. reference frame (aot_engine.py:241-325)
     xs0 = tuple(x[:, 0] for x in xs_bt)
+    xs_frames0_feat = xs0[-1].reshape(b, hw, c)
     ref_id_emb = id_embed(id_input_from(one_hots[:, 0], ignores[:, 0]))
     mem_pe1 = mem_pe_table[0:1] if mem_pe_table is not None else None
     inter0, mems0, _ = apply(type(model).lstt_forward,
@@ -112,9 +113,32 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
     bank = bank_append(bank, lk, lv, liv)
     _, aux_loss = decode(inter0, xs0, labels[:, 0])
 
+    # REVERSE_INFER (aot_engine.py:371-396): after every long-memory write,
+    # re-decode frame 0 from the current bank minus its first slot, using the
+    # frame-1 short memories (detached), and add a weighted consistency loss.
+    def reverse_loss_fn(bank, first_short):
+        from rmem_tpu.memory.bank import _compact_axis
+        rbank_k = _compact_axis(bank.k, jnp.int32(0), 1)
+        rbank_v = _compact_axis(bank.v, jnp.int32(0), 1)
+        if has_id:
+            rbank_iv = _compact_axis(bank.id_v, jnp.int32(0), 1)
+            bank_tuple = (rbank_k, rbank_v, rbank_iv)
+        else:
+            bank_tuple = (rbank_k, rbank_v)
+        rmask = jnp.arange(bank.capacity) < (bank.count - 1)
+        slot_pe = None
+        if mem_pe_table is not None:
+            slot_pe = interpolate_temporal_pe(mem_pe_table, bank.count - 1,
+                                              bank.capacity)
+        inter, _, _ = apply(type(model).lstt_forward,
+                            xs_frames0_feat, bank_tuple, rmask, first_short,
+                            None, self_pos, cur_pe, slot_pe, (eh, ew))
+        _, loss = decode(inter, xs0, labels[:, 0])
+        return cfg.reverse_loss * loss
+
     # 3. frame scan (aot_engine.py:84-106)
     def frame_body(carry, data):
-        bank, short, last_mem_step = carry
+        bank, short, first_short, last_mem_step = carry
         xs_f, label_f, onehot_f, ignore_f, fidx = data
         feat = xs_f[-1].reshape(b, hw, c)
         slot_pe = None
@@ -148,8 +172,15 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
         new_bank = jax.tree_util.tree_map(
             lambda a_, b_: jnp.where(do_long, a_, b_), evicted, bank)
         new_short = (sk, sv, siv_) if has_id else (sk, sv)
+        # capture frame-1 short memories, detached (aot_engine.py:372-374)
+        new_first = jax.tree_util.tree_map(
+            lambda f, n: jnp.where(fidx == 1, jax.lax.stop_gradient(n), f),
+            first_short, new_short)
+        if cfg.reverse_infer:
+            rloss = reverse_loss_fn(new_bank, new_first)
+            loss = loss + jnp.where(do_long, rloss, 0.0)
         new_last = jnp.where(do_long, fidx, last_mem_step)
-        return (new_bank, new_short, new_last), loss
+        return (new_bank, new_short, new_first, new_last), loss
 
     short0 = (sk, sv, siv) if has_id else (sk, sv)
     xs_scan = tuple(jnp.swapaxes(x[:, 1:], 0, 1) for x in xs_bt)
@@ -158,7 +189,8 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
                  jnp.swapaxes(one_hots[:, 1:], 0, 1),
                  jnp.swapaxes(ignores[:, 1:], 0, 1),
                  jnp.arange(1, t, dtype=jnp.int32))
-    carry0 = (bank, short0, jnp.zeros((), jnp.int32))
+    carry0 = (bank, short0, jax.tree_util.tree_map(jnp.zeros_like, short0),
+              jnp.zeros((), jnp.int32))
 
     body = jax.checkpoint(frame_body) if t > 2 else frame_body
     _, losses = jax.lax.scan(body, carry0, scan_data)  # losses [T-1, B]

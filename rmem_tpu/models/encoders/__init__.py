@@ -6,6 +6,7 @@ from rmem_tpu.models.encoders.resnet import ResNet50, ResNet101  # noqa: F401
 from rmem_tpu.models.encoders.mobilenet import MobileNetV2  # noqa: F401
 from rmem_tpu.models.encoders.tiny import TinyEncoder  # noqa: F401
 from rmem_tpu.models.encoders.swin import SwinB  # noqa: F401
+from rmem_tpu.models.encoders.mobilenetv3 import MobileNetV3Large  # noqa: F401,E501
 
 
 def build_encoder(name: str, dtype=None):
@@ -19,6 +20,8 @@ def build_encoder(name: str, dtype=None):
         return TinyEncoder(dtype=dtype)
     if name in ("swin_base", "swinb"):
         return SwinB(dtype=dtype)
+    if name == "mobilenetv3":
+        return MobileNetV3Large(dtype=dtype)
     raise NotImplementedError(f"encoder {name!r} not implemented "
                               "(have: resnet50, resnet101, mobilenetv2, "
                               "tiny)")

@@ -49,3 +49,26 @@ def interpolate_temporal_pe(mem_pos_emb: jnp.ndarray, t: jnp.ndarray,
     nearest_pe = mem_pos_emb[src]
 
     return jnp.where(t <= P, linear_pe, nearest_pe)
+
+
+def sinusoidal_temporal_encoding(max_len: int, channels: int,
+                                 normalize: bool = False,
+                                 scale: float = 2 * 3.141592653589793
+                                 ) -> jnp.ndarray:
+    """Sinusoidal time encoding [max_len, channels] (the reference's
+    TIME_ENCODE variant, aot_plus/networks/layers/position.py:96-158).
+
+    Note: in the shipped reference configs this path is off
+    (r50_aotl.py:11-13) and the per-block Q/K time-encode MLPs it would feed
+    are constructed but never invoked in the forward — provided here for API
+    completeness."""
+    pos = jnp.arange(max_len, dtype=jnp.float32)
+    if normalize:
+        pos = pos / jnp.maximum(pos[-1], 1.0) * scale
+    div = 1.0 / (10000.0 ** (jnp.arange(0, channels, 2,
+                                        dtype=jnp.float32) / channels))
+    ang = pos[:, None] * div[None, :]
+    out = jnp.zeros((max_len, channels), jnp.float32)
+    out = out.at[:, 0::2].set(jnp.sin(ang))
+    out = out.at[:, 1::2].set(jnp.cos(ang))
+    return out

@@ -35,15 +35,26 @@ _PALETTE = label_colormap().reshape(-1).tolist()
 def _save_mask(mask: np.ndarray, path: str,
                squeeze_idx: Optional[List[int]] = None):
     """Write a palettized PNG; un-squeeze compacted ids back to the original
-    id space (utils/image.py:90-101)."""
+    id space (utils/image.py:90-101). Uses the native C++ encoder when
+    available (rmem_tpu/native), PIL otherwise."""
     if squeeze_idx is not None:
         out = np.zeros_like(mask)
         for idx in range(1, len(squeeze_idx)):
             out += ((mask == idx) * squeeze_idx[idx]).astype(np.uint8)
         mask = out
-    img = Image.fromarray(mask.astype(np.uint8)).convert("P")
-    img.putpalette(_PALETTE)
+    mask = mask.astype(np.uint8)
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    try:
+        from rmem_tpu.native import encode_png_pal8
+        data = encode_png_pal8(mask, label_colormap())
+    except Exception:
+        data = None
+    if data is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+        return
+    img = Image.fromarray(mask).convert("P")
+    img.putpalette(_PALETTE)
     img.save(path)
 
 
