@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from rmem_tpu.config import Config
 from rmem_tpu.memory import (MemoryBank, bank_append, evict_if_full,
                              init_bank, valid_slot_mask)
+from rmem_tpu.memory.eviction import evict_if_full_gru
 from rmem_tpu.ops.masks import apply_ignore_token, mask_unused_ids, one_hot_mask
 from rmem_tpu.ops.resize import resize_bilinear
 from rmem_tpu.ops.temporal_pe import interpolate_temporal_pe
@@ -46,6 +47,8 @@ class EngineState:
     last_mem_step: jnp.ndarray              # int32
     gap: jnp.ndarray                        # int32 long-term write cadence
     obj_nums: jnp.ndarray                   # [B] int32
+    gru_hid_k: Optional[jnp.ndarray] = None  # [L,B,H,W,C] (GRU_MEMORY)
+    gru_hid_v: Optional[jnp.ndarray] = None
 
 
 def separate_mask(label: jnp.ndarray, num_groups: int,
@@ -153,6 +156,11 @@ class InferenceEngine:
         bank = bank_append(bank, lk, lv, liv)
 
         logits = self._decode(params, intermediates, xs, obj_nums)
+        ghk = ghv = None
+        if cfg.gru_memory:
+            # ConvGRU hidden states, zero-init (transformer.py:444-453)
+            ghk = jnp.zeros((lk.shape[0], b, eh, ew, lk.shape[-1]), lk.dtype)
+            ghv = jnp.zeros((lv.shape[0], b, eh, ew, lv.shape[-1]), lv.dtype)
         state = EngineState(
             bank=bank, short_k=sk, short_v=sv, short_id_v=siv,
             mems=mems, record=None, logits4x=logits,
@@ -160,6 +168,7 @@ class InferenceEngine:
             last_mem_step=jnp.asarray(frame_step, jnp.int32),
             gap=jnp.asarray(gap, jnp.int32),
             obj_nums=jnp.asarray(obj_nums, jnp.int32),
+            gru_hid_k=ghk, gru_hid_v=ghv,
         )
         return state, logits
 
@@ -197,15 +206,33 @@ class InferenceEngine:
             state.frame_step - state.last_mem_step >= state.gap)
 
         appended = bank_append(state.bank, lk, lv, liv)
+        record, fg = None, None
         if self.need_record and state.record is not None:
             # fg prob at encoder resolution (aot_engine.py:355-362)
             b_, hw = lk.shape[1], lk.shape[2]
             up = resize_bilinear(state.logits4x, self._enc_hw(state),
                                  cfg.model_align_corners)
             prob = jax.nn.softmax(up.astype(jnp.float32), axis=-1)
-            fg = (1.0 - prob[..., 0]).reshape(b_, hw)
+            record, fg = state.record, (1.0 - prob[..., 0]).reshape(b_, hw)
+
+        ghk, ghv = state.gru_hid_k, state.gru_hid_v
+        if cfg.gru_memory:
+            eh, ew = self._enc_hw(state)
+
+            def compress_fn(ks, vs, hk, hv):
+                return self.model.apply(
+                    {"params": params}, ks, vs, hk, hv, (eh, ew),
+                    method=lambda m, *a: m.lstt.compress_evicted(*a))
+
+            evicted, nhk, nhv = evict_if_full_gru(
+                appended, cfg.former_mem_len, cfg.latter_mem_len,
+                compress_fn, ghk, ghv, record, fg,
+                use_attn_weight=record is not None)
+            ghk = jnp.where(do_long, nhk, ghk)
+            ghv = jnp.where(do_long, nhv, ghv)
+        elif record is not None:
             evicted = evict_if_full(appended, cfg.former_mem_len,
-                                    cfg.latter_mem_len, state.record, fg,
+                                    cfg.latter_mem_len, record, fg,
                                     use_attn_weight=True)
         else:
             evicted = evict_if_full(appended, cfg.former_mem_len,
@@ -217,6 +244,7 @@ class InferenceEngine:
         return state.replace(
             bank=new_bank,
             short_k=sk, short_v=sv, short_id_v=siv,
+            gru_hid_k=ghk, gru_hid_v=ghv,
             last_mem_step=jnp.where(do_long, state.frame_step,
                                     state.last_mem_step),
         )

@@ -37,7 +37,7 @@ _INF = jnp.inf
 
 
 def scored_drop_index(bank: MemoryBank, record_mass: jnp.ndarray,
-                      fg_prob: jnp.ndarray):
+                      fg_prob: jnp.ndarray, gru_memory: bool = False):
     """Compute (drop_idx, new_score, new_scored, new_times).
 
     record_mass: [B, HWq, S] per-slot attention mass from layer 0 of the last
@@ -72,12 +72,16 @@ def scored_drop_index(bank: MemoryBank, record_mass: jnp.ndarray,
     new_times = jnp.where(slot_ids < n_after, bank.times + 1, bank.times)
     counts = jnp.where(old_mask, new_times.astype(jnp.float32), 0.0)
     counts = counts.at[0].set(n_old.astype(jnp.float32))  # pin ref slot
+    if gru_memory:
+        # slot 1 (compressed memory) is pinned too (transformer.py:394-396)
+        counts = counts.at[1].set(n_old.astype(jnp.float32))
     total_counts = jnp.sum(counts)
     bonus = UCB_MUL * jnp.sqrt(jnp.log(total_counts)
                                / (counts + UCB_ADD))
 
-    # 4. argmin over slots [IGNORE_FORMER, n_old)
-    candidates = (slot_ids >= IGNORE_FORMER) & old_mask
+    # 4. argmin over slots [ignore_former, n_old)
+    ignore_former = IGNORE_FORMER + (1 if gru_memory else 0)
+    candidates = (slot_ids >= ignore_former) & old_mask
     score_total = jnp.where(candidates, new_score + bonus, _INF)
     drop_idx = jnp.argmin(score_total).astype(jnp.int32)
     return drop_idx, new_score, new_scored, new_times
@@ -110,3 +114,46 @@ def evict_if_full(bank: MemoryBank, former_len: int, latter_len: int,
     evicted = bank_compact(stats_bank, drop_idx)
     return jax.tree_util.tree_map(
         lambda a, b: jnp.where(should, a, b), evicted, stats_bank)
+
+
+def evict_if_full_gru(bank: MemoryBank, former_len: int, latter_len: int,
+                      compress_fn, hid_k, hid_v,
+                      record_mass: Optional[jnp.ndarray] = None,
+                      fg_prob: Optional[jnp.ndarray] = None,
+                      use_attn_weight: bool = True):
+    """GRU_MEMORY eviction round (transformer.py:420-430): the evicted
+    slot's K/V feed per-layer ConvGRUs whose outputs *replace slot 1* (the
+    compressed memory) before compaction removes the evicted slot; hidden
+    states persist. Returns (bank, hid_k, hid_v).
+
+    compress_fn(k_slot, v_slot, hid_k, hid_v) -> (out_k, out_v, nhk, nhv)
+    with slot tensors [L, B, HW, C] and hiddens [L, B, H, W, C].
+    """
+    should = bank.count > (former_len + latter_len)
+
+    if use_attn_weight:
+        assert record_mass is not None and fg_prob is not None
+        drop_idx, new_score, new_scored, new_times = scored_drop_index(
+            bank, record_mass, fg_prob, gru_memory=True)
+        stats_bank = bank.replace(
+            score=jnp.where(should, new_score, bank.score),
+            scored=jnp.where(should, new_scored, bank.scored),
+            times=jnp.where(should, new_times, bank.times),
+        )
+    else:
+        drop_idx = jnp.asarray(former_len + 1, jnp.int32)
+        stats_bank = bank
+
+    k_slot = jnp.take(stats_bank.k, drop_idx, axis=1)
+    v_slot = jnp.take(stats_bank.v, drop_idx, axis=1)
+    ok, ov, nhk, nhv = compress_fn(k_slot, v_slot, hid_k, hid_v)
+    compressed = stats_bank.replace(
+        k=stats_bank.k.at[:, 1].set(ok.astype(stats_bank.k.dtype)),
+        v=stats_bank.v.at[:, 1].set(ov.astype(stats_bank.v.dtype)),
+    )
+    evicted = bank_compact(compressed, drop_idx)
+    new_bank = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(should, a, b), evicted, stats_bank)
+    new_hid_k = jnp.where(should, nhk, hid_k)
+    new_hid_v = jnp.where(should, nhv, hid_v)
+    return new_bank, new_hid_k, new_hid_v

@@ -71,7 +71,8 @@ class AOT(nn.Module):
                     linear_q=cfg.model_linear_q,
                     droppath=cfg.train_lstt_droppath,
                     intermediate_norm=cfg.model_decoder_intermediate_lstt,
-                    dtype=self.dtype, name="lstt")
+                    dtype=self.dtype, gru_memory=cfg.gru_memory,
+                    name="lstt")
 
     def _decoder_indim(self) -> int:
         cfg = self.cfg

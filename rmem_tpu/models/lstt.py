@@ -72,9 +72,19 @@ class LSTTBlock(nn.Module):
     linear_q: bool = False
     droppath: float = 0.1
     dtype: object = None
+    gru_memory: bool = False
 
     def setup(self):
         dt = self.dtype
+        if self.gru_memory:
+            from rmem_tpu.models.conv_gru import ConvGRUCellOutput
+            # K-plane GRU kernel 2, V-plane kernel 1 (transformer.py:529-545)
+            self.memory_gru_k = ConvGRUCellOutput(self.d_model, self.d_model,
+                                                  kernel=2, dtype=dt,
+                                                  name="memory_gru_k")
+            self.memory_gru_v = ConvGRUCellOutput(self.d_model, self.d_model,
+                                                  kernel=1, dtype=dt,
+                                                  name="memory_gru_v")
         self.norm1 = layer_norm("norm1")
         self.self_attn = MultiheadAttentionModule(
             self.d_model, self.self_heads, name="self_attn", dtype=dt)
@@ -166,6 +176,18 @@ class LSTTBlock(nn.Module):
         return (self.linear_V(curr_v + id_emb),
                 self.linear_VMem(short_v + id_emb))
 
+    def compress_slot(self, k_slot, v_slot, hid_k, hid_v, size_2d):
+        """GRU-compress an evicted slot into the persistent hidden state
+        (transformer.py:420-430). Inputs [B, HW, C] + hiddens [B, H, W, C];
+        returns (out_k, out_v, new_hid_k, new_hid_v)."""
+        h, w = size_2d
+        b, hw, c = k_slot.shape
+        k2 = k_slot.reshape(b, h, w, c)
+        v2 = v_slot.reshape(b, h, w, c)
+        nhk, ok = self.memory_gru_k(k2, hid_k)
+        nhv, ov = self.memory_gru_v(v2, hid_v)
+        return (ok.reshape(b, hw, c), ov.reshape(b, hw, c), nhk, nhv)
+
 
 class LSTT(nn.Module):
     """Stack of LSTTBlocks + decoder norms (transformer.py:133-197)."""
@@ -180,12 +202,14 @@ class LSTT(nn.Module):
     intermediate_norm: bool = True
     final_norm: bool = True
     dtype: object = None
+    gru_memory: bool = False
 
     def setup(self):
         self.blocks = [
             LSTTBlock(self.d_model, self.self_heads, self.att_heads,
                       self.dim_feedforward, self.linear_q, self.droppath,
-                      dtype=self.dtype, name=f"block{i}")
+                      dtype=self.dtype, gru_memory=self.gru_memory,
+                      name=f"block{i}")
             for i in range(self.num_layers)
         ]
         num_norms = (self.num_layers - 1 if self.intermediate_norm else 0)
@@ -248,3 +272,18 @@ class LSTT(nn.Module):
             long_vs.append(lv)
             short_vs.append(sv)
         return jnp.stack(long_vs), jnp.stack(short_vs)
+
+    def compress_evicted(self, k_slots, v_slots, hid_k, hid_v, size_2d):
+        """Per-layer GRU compression of the evicted slot. k_slots/v_slots:
+        [L, B, HW, C]; hiddens [L, B, H, W, C]. Returns stacked outputs and
+        new hiddens."""
+        oks, ovs, nhks, nhvs = [], [], [], []
+        for i, block in enumerate(self.blocks):
+            ok, ov, nhk, nhv = block.compress_slot(
+                k_slots[i], v_slots[i], hid_k[i], hid_v[i], size_2d)
+            oks.append(ok)
+            ovs.append(ov)
+            nhks.append(nhk)
+            nhvs.append(nhv)
+        return (jnp.stack(oks), jnp.stack(ovs), jnp.stack(nhks),
+                jnp.stack(nhvs))

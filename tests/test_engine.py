@@ -94,3 +94,28 @@ def test_engine_no_long_memory_flag():
         state = engine.update_memory(
             state, jnp.argmax(full, -1).astype(jnp.int32))
     assert int(state.bank.count) == 1  # never appended beyond the reference
+
+
+def test_engine_gru_memory_variant():
+    """GRU_MEMORY compressed eviction (transformer.py:420-430): bank stays at
+    former+latter, ConvGRU hidden states change after eviction rounds."""
+    cfg, model, params = _make("tiny_aotl", gru_memory=True, latter_mem_len=2)
+    engine = InferenceEngine(model, params, cfg, donate=False)
+    imgs, mask = _video(8)
+    state, _ = engine.add_reference(jnp.asarray(imgs[0]), jnp.asarray(mask),
+                                    [2], gap=1)
+    assert state.gru_hid_k is not None
+    hid0 = np.asarray(state.gru_hid_k)
+    evicted_seen = False
+    for t in range(1, 8):
+        state, logits = engine.propagate(state, jnp.asarray(imgs[t]))
+        assert np.all(np.isfinite(np.asarray(logits)))
+        full = engine.predict_logits_at(logits, HW)
+        state = engine.update_memory(
+            state, jnp.argmax(full, -1).astype(jnp.int32))
+        if int(state.bank.count) == cfg.former_mem_len + cfg.latter_mem_len \
+                and t >= 4:
+            evicted_seen = True
+    assert evicted_seen
+    hid1 = np.asarray(state.gru_hid_k)
+    assert np.abs(hid1 - hid0).max() > 0  # hidden state evolved
