@@ -257,12 +257,18 @@ class InferenceEngine:
         Python/jit dispatch overhead dominates on slow hosts, and the
         reference pays it four times per frame (propagate, softmax, argmax,
         update). Returns (state, label [B,H,W] int32, probs? None)."""
+        from rmem_tpu.ops.resize import resize_nearest
+
         state, logits4 = self._propagate_impl(params, state, img)
         logits = resize_bilinear(logits4, out_hw,
                                  self.cfg.model_align_corners)
         merged = soft_logit_aggregation(logits, self.cfg.model_max_obj_num)
         label_full = jnp.argmax(merged, axis=-1).astype(jnp.int32)
-        glabels = separate_mask(label_full[None], logits.shape[0],
+        # memory update expects the label at the model input size, nearest-
+        # resized from the full-res argmax (evaluator.py:509-523)
+        label_in = resize_nearest(label_full[None, ..., None],
+                                  img.shape[1:3])[0, ..., 0]
+        glabels = separate_mask(label_in[None], img.shape[0],
                                 self.cfg.model_max_obj_num)
         state = self._update_impl(params, state, glabels)
         return state, label_full

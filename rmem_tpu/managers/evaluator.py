@@ -98,10 +98,14 @@ class Evaluator:
         return lab
 
     def evaluate(self, max_seqs: Optional[int] = None,
-                 max_frames: Optional[int] = None) -> Dict:
+                 max_frames: Optional[int] = None,
+                 shard_across_hosts: bool = True) -> Dict:
+        from rmem_tpu.parallel.eval_sharding import host_sequence_indices
+        indices = (host_sequence_indices(len(self.dataset))
+                   if shard_across_hosts else list(range(len(self.dataset))))
         results: List[SequenceResult] = []
-        for idx in range(len(self.dataset)):
-            if max_seqs is not None and idx >= max_seqs:
+        for n_done, idx in enumerate(indices):
+            if max_seqs is not None and n_done >= max_seqs:
                 break
             seq = self.dataset.sequence(idx)
             res = self._eval_sequence(seq, max_frames)
@@ -128,6 +132,11 @@ class Evaluator:
         gap = max(int(round(num_frames / 30)), 5)
         if cfg.no_memory_gap:
             gap = int(round(gap / 4))
+
+        # fast path: single aug, no mid-video GT -> fused one-dispatch steps
+        # with deferred label downloads (the whole video pipelines on device)
+        if len(self.augs) == 1 and len(seq.labels) <= 1:
+            return self._eval_sequence_fused(seq, gap, max_frames)
 
         states = [None] * len(self.augs)
         groups = 1
@@ -217,6 +226,54 @@ class Evaluator:
             self._save(pred_label, seq.name, frame.name, ori_h, ori_w,
                        obj_idx)
 
+        return SequenceResult(seq.name, n_processed, seconds)
+
+    def _eval_sequence_fused(self, seq, gap: int,
+                             max_frames: Optional[int] = None
+                             ) -> SequenceResult:
+        """One fused jit dispatch per frame; labels stream back
+        asynchronously and PNGs are written at the end of the sequence."""
+        cfg = self.cfg
+        state = None
+        groups = 1
+        pending = []  # (frame_name, ori_hw, device label)
+        seconds = 0.0
+        n_processed = 0
+        obj_idx = None
+        for frame_idx, frame in enumerate(seq):
+            if max_frames is not None and frame_idx >= max_frames:
+                break
+            n_processed += 1
+            ori_h, ori_w = frame.image.shape[:2]
+            img = self._prep_frame(frame.image, self.augs[0])
+            obj_idx = frame.obj_idx
+            if frame_idx == 0:
+                groups = max(int(np.ceil(frame.obj_num
+                                         / cfg.model_max_obj_num)), 1)
+                hw = img.shape[1:3]
+                lab = self._prep_label(frame.label, hw, False)
+                glabels = separate_mask(jnp.asarray(lab[None]), groups,
+                                        cfg.model_max_obj_num)
+                gimg = jnp.tile(img, (groups, 1, 1, 1))
+                state, _ = self.engine.add_reference(
+                    gimg, glabels, self._group_obj_nums(frame.obj_num,
+                                                        groups),
+                    frame_step=0, gap=gap)
+                self._save(np.asarray(frame.label, np.uint8), seq.name,
+                           frame.name, ori_h, ori_w, obj_idx)
+                continue
+            t0 = time.perf_counter()
+            gimg = jnp.tile(img, (groups, 1, 1, 1))
+            state, label = self.engine.step(state, gimg, (ori_h, ori_w))
+            pending.append((frame.name, (ori_h, ori_w), label))
+            seconds += time.perf_counter() - t0
+        if pending:
+            t0 = time.perf_counter()
+            jax.block_until_ready(pending[-1][2])
+            seconds += time.perf_counter() - t0
+        for name, (oh, ow), label in pending:
+            self._save(np.asarray(label, np.uint8), seq.name, name, oh, ow,
+                       obj_idx)
         return SequenceResult(seq.name, n_processed, seconds)
 
     def _group_obj_nums(self, obj_num: int, groups: int) -> List[int]:

@@ -3,3 +3,8 @@ from rmem_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     make_parallel_train_step,
 )
+from rmem_tpu.parallel.eval_sharding import (  # noqa: F401
+    allreduce_stats,
+    host_sequence_indices,
+    maybe_initialize_distributed,
+)

@@ -1,0 +1,50 @@
+"""Multi-host evaluation sharding.
+
+The reference shards eval over GPUs with an mp.Queue work-stealing loop
+(aot_plus/tools/eval.py:137-145, managers/evaluator.py:276-295) and merges
+FPS stats through a second queue (evaluator.py:589-613). In single-controller
+JAX the equivalent is: each host takes a static strided slice of the sequence
+list, runs its local Evaluator, and scalar stats are summed across hosts with
+a tiny psum (over DCN for multi-host meshes).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def host_sequence_indices(num_sequences: int,
+                          process_index: int | None = None,
+                          process_count: int | None = None) -> List[int]:
+    """Strided partition of sequence indices for this host."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return list(range(pi, num_sequences, pc))
+
+
+def allreduce_stats(stats: Dict[str, float]) -> Dict[str, float]:
+    """Sum scalar eval stats across hosts (evaluator.py:589-613 equivalent).
+    On a single host this is the identity."""
+    if jax.process_count() == 1:
+        return dict(stats)
+    from jax.experimental import multihost_utils
+    keys = sorted(stats)
+    vec = jnp.asarray([float(stats[k]) for k in keys], jnp.float32)
+    summed = multihost_utils.process_allgather(vec).sum(axis=0)
+    return {k: float(summed[i]) for i, k in enumerate(keys)}
+
+
+def maybe_initialize_distributed(coordinator: str | None = None,
+                                 num_processes: int | None = None,
+                                 process_id: int | None = None):
+    """jax.distributed.initialize wrapper for multi-host runs; no-op when
+    unconfigured (single-host, the common case here)."""
+    if coordinator is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
