@@ -127,11 +127,19 @@ class InferenceEngine:
                              intermediates, xs)
         return mask_unused_ids(logits, obj_nums)
 
+    def _encode_groups(self, params, img, groups: int):
+        """Encode once and broadcast features to the id-group batch (the
+        reference re-encodes per sub-engine, aot_engine.py:689-700)."""
+        xs = self._apply(params, type(self.model).encode_image, img)
+        if img.shape[0] == 1 and groups > 1:
+            xs = tuple(jnp.tile(x, (groups, 1, 1, 1)) for x in xs)
+        return xs
+
     # -- add_reference (aot_engine.py:241-325) -------------------------
     def _add_reference_impl(self, params, img, label, obj_nums, frame_step,
                             gap):
         cfg = self.cfg
-        xs = self._apply(params, type(self.model).encode_image, img)
+        xs = self._encode_groups(params, img, label.shape[0])
         b, eh, ew, c = xs[-1].shape
         hw = eh * ew
         feat = xs[-1].reshape(b, hw, c)
@@ -174,7 +182,7 @@ class InferenceEngine:
 
     # -- propagate (aot_engine.py:398-436) ------------------------------
     def _propagate_impl(self, params, state: EngineState, img):
-        xs = self._apply(params, type(self.model).encode_image, img)
+        xs = self._encode_groups(params, img, state.short_k.shape[1])
         b, eh, ew, c = xs[-1].shape
         hw = eh * ew
         feat = xs[-1].reshape(b, hw, c)

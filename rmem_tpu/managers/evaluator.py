@@ -160,9 +160,8 @@ class Evaluator:
                     lab = self._prep_label(frame.label, hw, aug.flip)
                     glabels = separate_mask(jnp.asarray(lab[None]), groups,
                                             cfg.model_max_obj_num)
-                    gimg = jnp.tile(imgs[ai], (groups, 1, 1, 1))
                     states[ai], _ = self.engine.add_reference(
-                        gimg, glabels,
+                        imgs[ai], glabels,
                         self._group_obj_nums(frame.obj_num, groups),
                         frame_step=0, gap=gap)
                 pred_label = np.asarray(frame.label, np.uint8)
@@ -173,8 +172,8 @@ class Evaluator:
             t0 = time.perf_counter()
             agg_probs = []
             for ai, aug in enumerate(self.augs):
-                gimg = jnp.tile(imgs[ai], (groups, 1, 1, 1))
-                states[ai], logits4 = self.engine.propagate(states[ai], gimg)
+                states[ai], logits4 = self.engine.propagate(states[ai],
+                                                            imgs[ai])
                 logits = self.engine.predict_logits_at(logits4,
                                                        (ori_h, ori_w))
                 merged = soft_logit_aggregation(logits,
@@ -204,9 +203,8 @@ class Evaluator:
                     lab = self._prep_label(merged_label, hw, aug.flip)
                     glabels = separate_mask(jnp.asarray(lab[None]), groups,
                                             cfg.model_max_obj_num)
-                    gimg = jnp.tile(imgs[ai], (groups, 1, 1, 1))
                     states[ai], _ = self.engine.add_reference(
-                        gimg, glabels,
+                        imgs[ai], glabels,
                         self._group_obj_nums(new_obj_num, groups),
                         frame_step=frame_idx, gap=gap)
                 pred_label = merged_label.astype(np.uint8)
@@ -254,17 +252,15 @@ class Evaluator:
                 lab = self._prep_label(frame.label, hw, False)
                 glabels = separate_mask(jnp.asarray(lab[None]), groups,
                                         cfg.model_max_obj_num)
-                gimg = jnp.tile(img, (groups, 1, 1, 1))
                 state, _ = self.engine.add_reference(
-                    gimg, glabels, self._group_obj_nums(frame.obj_num,
-                                                        groups),
+                    img, glabels, self._group_obj_nums(frame.obj_num,
+                                                       groups),
                     frame_step=0, gap=gap)
                 self._save(np.asarray(frame.label, np.uint8), seq.name,
                            frame.name, ori_h, ori_w, obj_idx)
                 continue
             t0 = time.perf_counter()
-            gimg = jnp.tile(img, (groups, 1, 1, 1))
-            state, label = self.engine.step(state, gimg, (ori_h, ori_w))
+            state, label = self.engine.step(state, img, (ori_h, ori_w))
             pending.append((frame.name, (ori_h, ori_w), label))
             seconds += time.perf_counter() - t0
         if pending:

@@ -60,17 +60,16 @@ def main():
         ori_h, ori_w = raw.shape[:2]
         hw = restrict_size(ori_h, ori_w, cfg.test_max_size)
         img = jnp.asarray(normalize_image(resize_image(raw, hw))[None])
-        gimg = jnp.tile(img, (groups, 1, 1, 1))
         if i == 0:
             lab = resize_label(first, hw)
             glab = separate_mask(jnp.asarray(lab[None]), groups,
                                  cfg.model_max_obj_num)
             state, _ = engine.add_reference(
-                gimg, glab, [min(int(first.max()), 10)] * groups,
+                img, glab, [min(int(first.max()), 10)] * groups,
                 gap=args.gap)
             pred = first
         else:
-            state, logits4 = engine.propagate(state, gimg)
+            state, logits4 = engine.propagate(state, img)
             logits = engine.predict_logits_at(logits4, (ori_h, ori_w))
             merged = soft_logit_aggregation(logits, cfg.model_max_obj_num)
             pred = np.asarray(jnp.argmax(merged, -1), np.uint8)

@@ -119,3 +119,28 @@ def test_engine_gru_memory_variant():
     assert evicted_seen
     hid1 = np.asarray(state.gru_hid_k)
     assert np.abs(hid1 - hid0).max() > 0  # hidden state evolved
+
+
+def test_engine_multi_group_video():
+    """>10 objects -> 2 id groups as a batch axis; encode-once broadcast;
+    aggregation produces the full 21-channel label space."""
+    cfg, model, params = _make("tiny_aotl", latter_mem_len=2)
+    engine = InferenceEngine(model, params, cfg, donate=False)
+    imgs, _ = _video(4)
+    mask = np.zeros((1, *HW), np.int32)
+    for i in range(12):  # 12 objects in stripes
+        mask[:, :, 4 * i:4 * i + 3] = i + 1
+    groups = 2
+    glabels = separate_mask(jnp.asarray(mask), groups, 10)
+    state, logits = engine.add_reference(jnp.asarray(imgs[0]), glabels,
+                                         [10, 2], gap=2)
+    assert logits.shape[0] == groups
+    for t in range(1, 4):
+        state, logits4 = engine.propagate(state, jnp.asarray(imgs[t]))
+        assert logits4.shape[0] == groups
+        full = engine.predict_logits_at(logits4, HW)
+        merged = soft_logit_aggregation(full, 10)
+        assert merged.shape == (*HW, 21)
+        label = jnp.argmax(merged, -1).astype(jnp.int32)
+        state = engine.update_memory(state, separate_mask(label, groups, 10))
+    assert int(state.bank.count) >= 2

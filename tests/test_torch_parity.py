@@ -496,3 +496,157 @@ def test_gpm_block_parity():
                                    atol=3e-4, rtol=1e-3)
     finally:
         gpm_mod.MAX_LOCAL_DIS = old
+
+
+# ---------------------------------------------------------------------------
+# stack-level parity: 2-layer LSTT + decoder norms + FPN decode
+# ---------------------------------------------------------------------------
+
+class TConvGN(nn.Module):
+    def __init__(self, indim, outdim, k, groups=8):
+        super().__init__()
+        self.conv = nn.Conv2d(indim, outdim, k, padding=k // 2)
+        self.gn = nn.GroupNorm(groups, outdim)
+
+    def forward(self, x):
+        return self.gn(self.conv(x))
+
+
+class TFPN(nn.Module):
+    """FPNSegmentationHead replica (decoders/fpn.py:7-73), NCHW."""
+
+    def __init__(self, in_dim, out_dim, hidden, shortcut_dims):
+        super().__init__()
+        self.conv_in = TConvGN(in_dim, hidden, 1)
+        self.conv_16x = TConvGN(hidden, hidden, 3)
+        self.conv_8x = TConvGN(hidden, hidden // 2, 3)
+        self.conv_4x = TConvGN(hidden // 2, hidden // 2, 3)
+        self.adapter_16x = nn.Conv2d(shortcut_dims[-2], hidden, 1)
+        self.adapter_8x = nn.Conv2d(shortcut_dims[-3], hidden, 1)
+        self.adapter_4x = nn.Conv2d(shortcut_dims[-4], hidden // 2, 1)
+        self.conv_out = nn.Conv2d(hidden // 2, out_dim, 1)
+
+    def forward(self, inputs, shortcuts):
+        x = torch.cat(inputs, dim=1)
+        x = F.relu(self.conv_in(x))
+        x = F.relu(self.conv_16x(self.adapter_16x(shortcuts[-2]) + x))
+        x = F.interpolate(x, size=shortcuts[-3].shape[-2:], mode="bilinear",
+                          align_corners=True)
+        x = F.relu(self.conv_8x(self.adapter_8x(shortcuts[-3]) + x))
+        x = F.interpolate(x, size=shortcuts[-4].shape[-2:], mode="bilinear",
+                          align_corners=True)
+        x = F.relu(self.conv_4x(self.adapter_4x(shortcuts[-4]) + x))
+        return self.conv_out(x)
+
+
+def test_lstt_stack_and_fpn_parity():
+    """2-layer LSTT stack with decoder norms feeding the FPN, vs torch."""
+    d, L = 64, 2
+    eh, ew = 5, 6
+    HW, B, T = eh * ew, 1, 2
+    sc_dims = (8, 12, 16, 16)
+
+    tblocks = [TLSTTBlock(d).eval() for _ in range(L)]
+    tnorms = [nn.LayerNorm(d).eval() for _ in range(L)]
+    with torch.no_grad():
+        for n in tnorms:
+            n.weight.normal_(1, 0.2)
+            n.bias.normal_(0, 0.2)
+    tfpn = TFPN(d * (L + 1), 11, d, sc_dims).eval()
+
+    sd = {}
+    for i, tb in enumerate(tblocks):
+        sd.update(_sd(tb, f"LSTT.layers.{i}"))
+    for i, n in enumerate(tnorms):
+        sd.update(_sd(n, f"LSTT.decoder_norms.{i}"))
+    sd.update(_sd(tfpn, "decoder"))
+
+    from rmem_tpu.models.lstt import LSTT
+    from rmem_tpu.models.decoders.fpn import FPNSegmentationHead
+    import flax.linen as nn_flax
+
+    class StackAndDecode(nn_flax.Module):
+        def setup(self):
+            self.lstt = LSTT(num_layers=L, d_model=d, self_heads=8,
+                             att_heads=8, linear_q=False, droppath=0.0,
+                             intermediate_norm=True, final_norm=True,
+                             name="lstt")
+            self.decoder = FPNSegmentationHead(
+                in_dim=d * (L + 1), out_dim=11, hidden_dim=d,
+                shortcut_dims=sc_dims, align_corners=True, name="decoder")
+
+        def __call__(self, feat, bank, mask, short, self_pos, cpe, spe,
+                     shortcuts):
+            inter, mems, rec = self.lstt(feat, bank, mask, short, None,
+                                         self_pos, cpe, spe, (eh, ew))
+            b = shortcuts[-1].shape[0]
+            inputs = [shortcuts[-1]] + [e.reshape(b, eh, ew, -1)
+                                        for e in inter]
+            return self.decoder(inputs, shortcuts)
+
+    rng = np.random.RandomState(7)
+    feat = rng.randn(B, HW, d).astype(np.float32)
+    bank_k = rng.randn(L, T, B, HW, d).astype(np.float32)
+    bank_v = rng.randn(L, T, B, HW, d).astype(np.float32)
+    short_k = rng.randn(L, B, HW, d).astype(np.float32)
+    short_v = rng.randn(L, B, HW, d).astype(np.float32)
+    self_pos = rng.randn(1, HW, d).astype(np.float32)
+    cpe = rng.randn(1, d).astype(np.float32)
+    spe = rng.randn(T, d).astype(np.float32)
+    mask = jnp.ones((T,), bool)
+    # NHWC shortcuts at 4x/8x/16x/16x(proj, d channels)
+    shortcuts = [rng.randn(B, eh * 4 - 3, ew * 4 - 3, sc_dims[0]
+                           ).astype(np.float32),
+                 rng.randn(B, eh * 2 - 1, ew * 2 - 1, sc_dims[1]
+                           ).astype(np.float32),
+                 rng.randn(B, eh, ew, sc_dims[2]).astype(np.float32),
+                 rng.randn(B, eh, ew, d).astype(np.float32)]
+
+    m = StackAndDecode()
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(feat),
+                       (jnp.asarray(bank_k), jnp.asarray(bank_v)), mask,
+                       (jnp.asarray(short_k), jnp.asarray(short_v)),
+                       jnp.asarray(self_pos), jnp.asarray(cpe),
+                       jnp.asarray(spe), [jnp.asarray(s) for s in shortcuts])
+
+    from rmem_tpu.utils.checkpoint import (_convert_lstt_block, _convert_fpn,
+                                           _put_norm)
+    flat = {}
+    for i in range(L):
+        _convert_lstt_block(sd, flat, i)
+    for i in range(L):
+        _put_norm(sd, flat, f"LSTT.decoder_norms.{i}",
+                  ("lstt", f"decoder_norm{i}"))
+    _convert_fpn(sd, flat)
+    params = _to_params(variables["params"], flat)
+
+    ours = m.apply({"params": params}, jnp.asarray(feat),
+                   (jnp.asarray(bank_k), jnp.asarray(bank_v)), mask,
+                   (jnp.asarray(short_k), jnp.asarray(short_v)),
+                   jnp.asarray(self_pos), jnp.asarray(cpe), jnp.asarray(spe),
+                   [jnp.asarray(s) for s in shortcuts])
+
+    # torch side
+    with torch.no_grad():
+        out = torch.from_numpy(feat)
+        inters = []
+        for i, tb in enumerate(tblocks):
+            out = tb(out, torch.from_numpy(bank_k[i]),
+                     torch.from_numpy(bank_v[i]),
+                     torch.from_numpy(short_k[i]),
+                     torch.from_numpy(short_v[i]),
+                     torch.from_numpy(self_pos), torch.from_numpy(cpe),
+                     torch.from_numpy(spe), (eh, ew))
+            inters.append(out)
+        # final norm on last, intermediate norm on earlier
+        # (transformer.py:248-259)
+        inters[-1] = tnorms[-1](inters[-1])
+        for i in range(L - 1):
+            inters[i] = tnorms[i](inters[i])
+        sc_t = [torch.from_numpy(s.transpose(0, 3, 1, 2)) for s in shortcuts]
+        dec_in = [sc_t[-1]] + [
+            e.view(B, eh, ew, d).permute(0, 3, 1, 2) for e in inters]
+        theirs = tfpn(dec_in, sc_t)
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1),
+        atol=5e-4, rtol=2e-3)
