@@ -59,9 +59,13 @@ class SequenceResult:
 
 class Evaluator:
     def __init__(self, cfg: Config, params=None, data_root: str = None,
-                 output_root: str = None, log=print):
+                 output_root: str = None, log=print, probe: bool = False):
         self.cfg = cfg
         self.log = log
+        # fixed logit probe per frame, the reference's determinism harness
+        # (tools/eval.py --debug_fix_random; evaluator.py:424-425)
+        self.probe = probe
+        self.probes: List[np.ndarray] = []
         self.model = build_vos_model(cfg.model_vos, cfg)
         if params is None:
             if cfg.test_ckpt_path and cfg.test_ckpt_path != "test":
@@ -176,6 +180,10 @@ class Evaluator:
                                                             imgs[ai])
                 logits = self.engine.predict_logits_at(logits4,
                                                        (ori_h, ori_w))
+                if self.probe and ai == 0:
+                    py, px = min(100, ori_h - 1), min(100, ori_w - 1)
+                    self.probes.append(
+                        np.asarray(logits[0, py, px, :7], np.float32))
                 merged = soft_logit_aggregation(logits,
                                                 cfg.model_max_obj_num)
                 if aug.flip:
@@ -260,7 +268,24 @@ class Evaluator:
                            frame.name, ori_h, ori_w, obj_idx)
                 continue
             t0 = time.perf_counter()
-            state, label = self.engine.step(state, img, (ori_h, ori_w))
+            if self.probe:
+                state, logits4 = self.engine.propagate(state, img)
+                logits = self.engine.predict_logits_at(logits4,
+                                                       (ori_h, ori_w))
+                py, px = min(100, ori_h - 1), min(100, ori_w - 1)
+                self.probes.append(
+                    np.asarray(logits[0, py, px, :7], np.float32))
+                merged = soft_logit_aggregation(logits,
+                                                cfg.model_max_obj_num)
+                label = jnp.argmax(merged, -1).astype(jnp.int32)
+                lab_in = self._prep_label(np.asarray(label, np.uint8),
+                                          img.shape[1:3], False)
+                state = self.engine.update_memory(
+                    state, separate_mask(jnp.asarray(lab_in[None]),
+                                         state.short_k.shape[1],
+                                         cfg.model_max_obj_num))
+            else:
+                state, label = self.engine.step(state, img, (ori_h, ori_w))
             pending.append((frame.name, (ori_h, ori_w), label))
             seconds += time.perf_counter() - t0
         if pending:

@@ -27,6 +27,9 @@ def main():
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--score", action="store_true",
                    help="run offline J/J_tr scoring afterwards")
+    p.add_argument("--probe", action="store_true",
+                   help="print per-frame logit probes (determinism harness, "
+                        "reference --debug_fix_random)")
     args = p.parse_args()
 
     from rmem_tpu.config import get_config
@@ -42,8 +45,11 @@ def main():
     from rmem_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     ev = Evaluator(cfg, data_root=args.data_root,
-                   output_root=args.output_root)
+                   output_root=args.output_root, probe=args.probe)
     stats = ev.evaluate(max_seqs=args.max_seqs, max_frames=args.max_frames)
+    if args.probe:
+        for i, pr in enumerate(ev.probes):
+            print(f"probe[{i}]: {pr.tolist()}")
     print(json.dumps({k: v for k, v in stats.items()
                       if k != "per_seq_fps"}, indent=2))
 

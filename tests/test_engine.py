@@ -144,3 +144,28 @@ def test_engine_multi_group_video():
         label = jnp.argmax(merged, -1).astype(jnp.int32)
         state = engine.update_memory(state, separate_mask(label, groups, 10))
     assert int(state.bank.count) >= 2
+
+
+def test_engine_long_video_steady_state():
+    """Long-video behavior (SURVEY config 3): constant bank size, finite
+    logits, and living eviction statistics over 60 frames."""
+    cfg, model, params = _make("tiny_deaotl", latter_mem_len=3)
+    engine = InferenceEngine(model, params, cfg, donate=False)
+    imgs, mask = _video(4, seed=3)
+    state, _ = engine.add_reference(jnp.asarray(imgs[0]), jnp.asarray(mask),
+                                    [2], gap=2)
+    counts, times_max = [], []
+    for t in range(1, 61):
+        state, logits = engine.propagate(state, jnp.asarray(imgs[t % 4]))
+        full = engine.predict_logits_at(logits, HW)
+        state = engine.update_memory(
+            state, jnp.argmax(full, -1).astype(jnp.int32))
+        counts.append(int(state.bank.count))
+        times_max.append(int(np.asarray(state.bank.times).max()))
+    steady = cfg.former_mem_len + cfg.latter_mem_len
+    assert counts[-1] == steady
+    assert max(counts) <= steady + 0  # never exceeds after update returns
+    # ~30 long-term writes -> many eviction rounds survived by slot 0
+    assert times_max[-1] > 10
+    assert np.all(np.isfinite(np.asarray(logits)))
+    assert int(state.frame_step) == 60

@@ -77,3 +77,24 @@ def test_evaluator_synthetic_multiscale_flip(tmp_path):
     arr = np.asarray(Image.open(os.path.join(out, "test0", "00001.png")))
     assert arr.shape == (240, 432)
     assert set(np.unique(arr)) <= {0, 1, 2}
+
+
+def test_evaluator_deterministic_probes(tmp_path):
+    """Seeded determinism harness: two runs with the same weights produce
+    bit-identical per-frame logit probes (reference --debug_fix_random)."""
+    import jax
+    from rmem_tpu.models import build_vos_model, init_params
+
+    cfg = get_config("test", model="tiny_deaotl", test_dataset="test",
+                     test_ckpt_path="test")
+    model = build_vos_model(cfg.model_vos, cfg)
+    params = init_params(model, jax.random.PRNGKey(7))
+    probes = []
+    for run in range(2):
+        ev = Evaluator(cfg, params=params,
+                       output_root=str(tmp_path / f"r{run}"),
+                       log=lambda *a: None, probe=True)
+        ev.evaluate(max_seqs=1, max_frames=4)
+        probes.append(np.stack(ev.probes))
+    np.testing.assert_array_equal(probes[0], probes[1])
+    assert probes[0].shape == (3, 7)
