@@ -129,6 +129,72 @@ def _convert_resnet(sd, out: Dict[Tuple[str, ...], np.ndarray],
                     out[fp + ("downsample_bn", k)] = v
 
 
+def _convert_swin(sd, out: Dict[Tuple[str, ...], np.ndarray],
+                  depths=(2, 2, 18)):
+    """Swin-B trunk (mmseg-style naming: patch_embed.proj, layers.i.blocks.j,
+    layers.i.downsample, norm{i}) -> models/encoders/swin.py names. The dead
+    32x stage (layers.3) is ignored."""
+    e = ("encoder",)
+    out[e + ("patch_embed", "kernel")] = _conv(
+        sd["encoder.patch_embed.proj.weight"])
+    out[e + ("patch_embed", "bias")] = sd["encoder.patch_embed.proj.bias"]
+    _put_norm(sd, out, "encoder.patch_embed.norm", e + ("patch_norm",))
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            t = f"encoder.layers.{i}.blocks.{j}"
+            f = e + (f"stage{i}_block{j}",)
+            _put_norm(sd, out, f"{t}.norm1", f + ("norm1",))
+            _put_dense(sd, out, f"{t}.attn.qkv", f + ("attn", "qkv"))
+            _put_dense(sd, out, f"{t}.attn.proj", f + ("attn", "proj"))
+            out[f + ("attn", "relative_position_bias_table")] = \
+                sd[f"{t}.attn.relative_position_bias_table"]
+            _put_norm(sd, out, f"{t}.norm2", f + ("norm2",))
+            _put_dense(sd, out, f"{t}.mlp.fc1", f + ("fc1",))
+            _put_dense(sd, out, f"{t}.mlp.fc2", f + ("fc2",))
+        _put_norm(sd, out, f"encoder.norm{i}", e + (f"out_norm{i}",))
+        if i < len(depths) - 1:
+            t = f"encoder.layers.{i}.downsample"
+            f = e + (f"merge{i}",)
+            _put_norm(sd, out, f"{t}.norm", f + ("norm",))
+            _put_dense(sd, out, f"{t}.reduction", f + ("reduction",))
+
+
+def _convert_mobilenetv2(sd, out: Dict[Tuple[str, ...], np.ndarray]):
+    """Reference MobileNetV2 naming (features.N nested Sequentials,
+    mobilenetv2.py:62-205) -> models/encoders/mobilenet.py names."""
+    e = ("encoder",)
+    out[e + ("stem", "conv", "kernel")] = _conv(
+        sd["encoder.features.0.0.weight"])
+    for k, v in _fold_bn(sd, "encoder.features.0.1").items():
+        out[e + ("stem", "bn", k)] = v
+    # inverted residual blocks: features.1..17
+    setting = [(1, 1), (6, 2), (6, 3), (6, 4), (6, 3), (6, 3), (6, 1)]
+    idx = 1
+    for t_exp, n in setting:
+        for _ in range(n):
+            tp = f"encoder.features.{idx}.conv"
+            f = e + (f"block{idx}",)
+            if t_exp != 1:
+                out[f + ("pw", "conv", "kernel")] = _conv(
+                    sd[f"{tp}.0.0.weight"])
+                for k, v in _fold_bn(sd, f"{tp}.0.1").items():
+                    out[f + ("pw", "bn", k)] = v
+                dw, pwl, bno = f"{tp}.1", f"{tp}.2", f"{tp}.3"
+            else:
+                dw, pwl, bno = f"{tp}.0", f"{tp}.1", f"{tp}.2"
+            out[f + ("dw", "conv", "kernel")] = _conv(sd[f"{dw}.0.weight"])
+            for k, v in _fold_bn(sd, f"{dw}.1").items():
+                out[f + ("dw", "bn", k)] = v
+            out[f + ("pw_linear", "kernel")] = _conv(sd[f"{pwl}.weight"])
+            for k, v in _fold_bn(sd, bno).items():
+                out[f + ("bn_out", k)] = v
+            idx += 1
+    out[e + ("head", "conv", "kernel")] = _conv(
+        sd["encoder.features.18.0.weight"])
+    for k, v in _fold_bn(sd, "encoder.features.18.1").items():
+        out[e + ("head", "bn", k)] = v
+
+
 def _put_dense(sd, out, tname: str, fpath: Tuple[str, ...],
                required: bool = True):
     wkey = f"{tname}.weight"
@@ -221,7 +287,12 @@ def convert_torch_checkpoint(sd: Dict[str, np.ndarray], model_vos: str,
                              ) -> Dict[str, Any]:
     """Torch state_dict -> nested flax param dict for AOT/DeAOT (r50)."""
     out: Dict[Tuple[str, ...], np.ndarray] = {}
-    _convert_resnet(sd, out)
+    if "encoder.patch_embed.proj.weight" in sd:
+        _convert_swin(sd, out)
+    elif "encoder.features.0.0.weight" in sd:
+        _convert_mobilenetv2(sd, out)
+    else:
+        _convert_resnet(sd, out)
     out[("encoder_projector", "kernel")] = _conv(
         sd["encoder_projector.weight"])
     out[("encoder_projector", "bias")] = sd["encoder_projector.bias"]

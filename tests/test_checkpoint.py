@@ -141,3 +141,126 @@ def test_save_load_roundtrip(tmp_path):
     b = trav.flatten_dict(loaded)
     for k in a:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def _fabricate_encoder_sd(flat_params, kind):
+    """Torch-style names/shapes for swin/mobilenet encoder params."""
+    rng = np.random.RandomState(3)
+    sd = {}
+
+    def bn_group(tname, c):
+        sd[f"{tname}.weight"] = rng.randn(c).astype(np.float32)
+        sd[f"{tname}.bias"] = rng.randn(c).astype(np.float32)
+        sd[f"{tname}.running_mean"] = rng.randn(c).astype(np.float32)
+        sd[f"{tname}.running_var"] = np.abs(
+            rng.randn(c)).astype(np.float32) + 0.5
+
+    for path, leaf in flat_params.items():
+        if path[0] != "encoder":
+            continue
+        leaf = np.asarray(leaf)
+        p = list(path)
+        if kind == "swin":
+            j = "/".join(p[1:])
+            name = None
+            if p[1] == "patch_embed":
+                name = "encoder.patch_embed.proj"
+            elif p[1] == "patch_norm":
+                name = "encoder.patch_embed.norm"
+            elif p[1].startswith("stage"):
+                st, bl = p[1].replace("stage", "").split("_block")
+                sub = {"norm1": "norm1", "norm2": "norm2",
+                       "fc1": "mlp.fc1", "fc2": "mlp.fc2"}.get(p[2])
+                if p[2] == "attn":
+                    if p[3] == "relative_position_bias_table":
+                        sd[f"encoder.layers.{st}.blocks.{bl}.attn."
+                           f"relative_position_bias_table"] = \
+                            rng.randn(*leaf.shape).astype(np.float32)
+                        continue
+                    sub = f"attn.{p[3]}"
+                name = f"encoder.layers.{st}.blocks.{bl}.{sub}"
+            elif p[1].startswith("merge"):
+                i = p[1][-1]
+                sub = {"norm": "norm", "reduction": "reduction"}[p[2]]
+                name = f"encoder.layers.{i}.downsample.{sub}"
+            elif p[1].startswith("out_norm"):
+                name = f"encoder.norm{p[1][-1]}"
+        else:  # mobilenetv2
+            block_map = {"pw": "0", "dw": "1"}
+            if p[1] == "stem":
+                if p[2] == "bn":
+                    bn_group("encoder.features.0.1", leaf.shape[0])
+                    continue
+                name = "encoder.features.0.0"
+            elif p[1] == "head":
+                if p[2] == "bn":
+                    bn_group("encoder.features.18.1", leaf.shape[0])
+                    continue
+                name = "encoder.features.18.0"
+            else:
+                idx = int(p[1].replace("block", ""))
+                has_pw = any(k[1] == p[1] and k[2] == "pw"
+                             for k in flat_params)
+                if p[2] == "pw":
+                    if p[3] == "bn":
+                        bn_group(f"encoder.features.{idx}.conv.0.1",
+                                 leaf.shape[0])
+                        continue
+                    name = f"encoder.features.{idx}.conv.0.0"
+                elif p[2] == "dw":
+                    base = "1" if has_pw else "0"
+                    if p[3] == "bn":
+                        bn_group(f"encoder.features.{idx}.conv.{base}.1",
+                                 leaf.shape[0])
+                        continue
+                    name = f"encoder.features.{idx}.conv.{base}.0"
+                elif p[2] == "pw_linear":
+                    name = f"encoder.features.{idx}.conv." + \
+                        ("2" if has_pw else "1")
+                elif p[2] == "bn_out":
+                    bn_group(f"encoder.features.{idx}.conv." +
+                             ("3" if has_pw else "2"), leaf.shape[0])
+                    continue
+        assert name is not None, path
+        last = path[-1]
+        if last == "kernel":
+            if leaf.ndim == 4:
+                sd[f"{name}.weight"] = np.transpose(
+                    rng.randn(*leaf.shape).astype(np.float32), (3, 2, 0, 1))
+            else:
+                sd[f"{name}.weight"] = np.transpose(
+                    rng.randn(*leaf.shape).astype(np.float32), (1, 0))
+        elif last == "scale":
+            sd[f"{name}.weight"] = rng.randn(*leaf.shape).astype(np.float32)
+        elif last == "bias":
+            sd[f"{name}.bias"] = rng.randn(*leaf.shape).astype(np.float32)
+    return sd
+
+
+@pytest.mark.parametrize("kind,builder", [
+    ("swin", "swin_base"),
+    ("mobilenetv2", "mobilenetv2"),
+])
+def test_encoder_converter_coverage(kind, builder):
+    import jax as _jax
+    import jax.numpy as jnp
+    from rmem_tpu.models.encoders import build_encoder
+    from rmem_tpu.utils.checkpoint import (_convert_mobilenetv2,
+                                           _convert_swin)
+    enc = build_encoder(builder)
+    x = jnp.zeros((1, 65, 65, 3))
+    variables = _jax.jit(lambda: enc.init(_jax.random.PRNGKey(0), x))()
+    # wrap under an "encoder" scope to mirror the model tree
+    flat = {("encoder",) + k: v
+            for k, v in trav.flatten_dict(variables["params"]).items()}
+    sd = _fabricate_encoder_sd(flat, kind)
+    out = {}
+    if kind == "swin":
+        _convert_swin(sd, out)
+    else:
+        _convert_mobilenetv2(sd, out)
+    missing = [k for k in flat if k not in out]
+    assert not missing, f"converter missed {missing[:8]}"
+    bad = [(k, out[k].shape, flat[k].shape) for k in flat
+           if out[k].shape != flat[k].shape]
+    assert not bad, f"shape mismatches {bad[:8]}"
