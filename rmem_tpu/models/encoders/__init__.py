@@ -7,6 +7,8 @@ from rmem_tpu.models.encoders.mobilenet import MobileNetV2  # noqa: F401
 from rmem_tpu.models.encoders.tiny import TinyEncoder  # noqa: F401
 from rmem_tpu.models.encoders.swin import SwinB  # noqa: F401
 from rmem_tpu.models.encoders.mobilenetv3 import MobileNetV3Large  # noqa: F401,E501
+from rmem_tpu.models.encoders.resnest import ResNeSt50, ResNeSt101  # noqa: F401,E501
+from rmem_tpu.models.encoders.topdown import ResNet50TopDown  # noqa: F401,E501
 
 
 def build_encoder(name: str, dtype=None):
@@ -22,6 +24,12 @@ def build_encoder(name: str, dtype=None):
         return SwinB(dtype=dtype)
     if name == "mobilenetv3":
         return MobileNetV3Large(dtype=dtype)
+    if name == "resnest50":
+        return ResNeSt50(dtype=dtype)
+    if name == "resnest101":
+        return ResNeSt101(dtype=dtype)
+    if name == "resnet50_topdown":
+        return ResNet50TopDown(dtype=dtype)
     raise NotImplementedError(f"encoder {name!r} not implemented "
                               "(have: resnet50, resnet101, mobilenetv2, "
                               "tiny)")

@@ -56,3 +56,24 @@ def test_swin_shifted_window_mask_effect():
     diff = np.abs(y1 - y0).sum(-1)[0]
     assert diff[0, 0] > 0  # perturbation visible at source
     assert diff[-1, -1] < diff[0, 0]  # far corner much less affected
+
+
+def test_resnest_pyramid_shapes():
+    enc = build_encoder("resnest50")
+    x = jnp.zeros((1, 65, 65, 3))
+    params = jax.jit(lambda: enc.init(jax.random.PRNGKey(0), x))()
+    xs = enc.apply(params, x)
+    assert [t.shape for t in xs] == [(1, 17, 17, 256), (1, 9, 9, 512),
+                                     (1, 5, 5, 1024), (1, 5, 5, 1024)]
+
+
+def test_topdown_encoder_modes():
+    from rmem_tpu.models.encoders.topdown import ResNet50TopDown
+    x = jnp.ones((1, 65, 65, 3)) * 0.1
+    m = jnp.zeros((1, 65, 65)).at[:, 20:40, 20:40].set(1.0)
+    for use_mask in (True, False):
+        enc = ResNet50TopDown(use_mask=use_mask)
+        params = jax.jit(lambda e=enc: e.init(jax.random.PRNGKey(0), x, m))()
+        pyr, vloss = enc.apply(params, x, m)
+        assert pyr[-1].shape == (1, 5, 5, 1024)
+        assert np.isfinite(float(vloss)) and float(vloss) > 0
