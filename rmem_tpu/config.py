@@ -87,6 +87,9 @@ class Config:
     data_random_gap_davis: int = 12
     data_random_gap_ytb: int = 3
     data_random_gap_vost: int = 3
+    data_random_gap_visor: int = 1
+    data_visor_repeat: int = 1
+    data_visor_ignore_thresh: float = 0.2
     data_dynamic_merge_prob: float = 0.2
     ignore_in_merge: bool = True
 

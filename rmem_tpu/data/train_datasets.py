@@ -261,6 +261,23 @@ def build_train_dataset(cfg, data_root: Optional[str] = None):
                 min_scale=cfg.data_min_scale_factor,
                 max_scale=cfg.data_max_scale_factor,
                 flip_prob=cfg.data_randomflip))
+        elif name == "visor":
+            base = os.path.join(root, "VISOR")
+            with open(os.path.join(base, "ImageSets", "train.txt")) as f:
+                seqs = [x.strip() for x in f if x.strip()]
+            datasets.append(VOSTrainDataset(
+                os.path.join(base, "JPEGImages"),
+                os.path.join(base, "Annotations"), seqs,
+                seq_len=cfg.data_seq_len,
+                rand_gap=cfg.data_random_gap_visor,
+                crop_hw=cfg.data_randomcrop,
+                ignore_thresh=cfg.data_visor_ignore_thresh,
+                merge_prob=cfg.data_dynamic_merge_prob,
+                ignore_in_merge=cfg.ignore_in_merge,
+                short_edge=cfg.data_short_edge_len,
+                min_scale=cfg.data_min_scale_factor,
+                max_scale=cfg.data_max_scale_factor,
+                flip_prob=cfg.data_randomflip))
         elif name == "static":
             base = os.path.join(root, "Static")
             names = sorted(os.listdir(os.path.join(base, "JPEGImages")))

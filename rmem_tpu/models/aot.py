@@ -97,8 +97,16 @@ class AOT(nn.Module):
 
     def encode_image(self, img: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
         """img [B,H,W,3] -> pyramid [4x, 8x, 16x, 16x-projected]
-        (models/aot.py:116-134)."""
-        xs = list(self.encoder(img))
+        (models/aot.py:116-134). Tuple-returning encoders (resnet50_topdown)
+        expose their auxiliary reconstruction loss via `sow` so the train
+        loss can pick it up (aot_engine.py:115-118)."""
+        out = self.encoder(img)
+        if isinstance(out, tuple) and len(out) == 2 and not hasattr(
+                out[0], "shape"):
+            xs, var_loss = list(out[0]), out[1]
+            self.sow("aux_losses", "var_loss", var_loss)
+        else:
+            xs = list(out)
         xs[-1] = self.encoder_projector(xs[-1])
         return tuple(xs)
 
