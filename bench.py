@@ -9,6 +9,12 @@ stride-16+1 snapping, aot_plus/dataloaders/video_transforms.py:605-621) with
 Baseline: the RMem paper reports 27.42 FPS for DeAOT+RMem on DAVIS-2017 480p
 (RMem.pdf Table 6, unspecified GPU; BASELINE.md). vs_baseline = fps / 27.42.
 
+Frames are processed in device-resident chunks via lax.scan (one dispatch
+per CHUNK frames): on this setup the TPU sits behind a network tunnel whose
+~90 ms per-dispatch round trip would otherwise dominate; the chunked scan is
+also the natural TPU engine shape (SURVEY §7). Timing is synchronized by
+materializing the final labels on the host.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -24,8 +30,8 @@ import numpy as np
 BASELINE_FPS = 27.42
 HW = (481, 849)
 NUM_OBJECTS = 10
-WARMUP = 4
-ITERS = 30
+CHUNK = 30
+N_CHUNKS = 4
 
 
 def main():
@@ -48,28 +54,19 @@ def main():
     state, _ = engine.add_reference(img0, jnp.asarray(mask), [NUM_OBJECTS],
                                     gap=5)
 
-    frames = [jnp.asarray(rng.rand(1, *HW, 3), jnp.float32)
-              for _ in range(4)]
+    chunk = jnp.asarray(rng.rand(CHUNK, 1, *HW, 3), jnp.float32)
 
-    def step(state, img):
-        # fused single-dispatch propagate+argmax+update
-        return engine.step(state, img, HW)
+    # warmup: compile + fill the bank to steady state; hard host sync
+    state, labels = engine.scan_steps(state, chunk, HW)
+    _ = np.asarray(labels[-1])
 
-    for i in range(WARMUP):
-        state, label = step(state, frames[i % len(frames)])
-    jax.block_until_ready(label)
+    t0 = time.perf_counter()
+    for _ in range(N_CHUNKS):
+        state, labels = engine.scan_steps(state, chunk, HW)
+    _ = np.asarray(labels[-1])  # device_get forces full synchronization
+    dt = time.perf_counter() - t0
 
-    # two timed passes; report the best (the TPU sits behind a network
-    # tunnel, so a single pass can absorb a transient latency spike)
-    best_dt = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for i in range(ITERS):
-            state, label = step(state, frames[i % len(frames)])
-        jax.block_until_ready(label)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-
-    fps = ITERS / best_dt
+    fps = (CHUNK * N_CHUNKS) / dt
     print(json.dumps({
         "metric": "480p_multiobj_deaotl_rmem_inference",
         "value": round(fps, 2),

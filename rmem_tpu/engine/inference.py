@@ -100,6 +100,8 @@ class InferenceEngine:
         self._update = jax.jit(self._update_impl, donate_argnums=donate_args)
         self._step = jax.jit(self._step_impl, donate_argnums=donate_args,
                              static_argnames=("out_hw",))
+        self._scan = jax.jit(self._scan_impl, donate_argnums=donate_args,
+                             static_argnames=("out_hw",))
 
     # -- helpers -------------------------------------------------------
     def _apply(self, params, method, *args, **kw):
@@ -169,9 +171,14 @@ class InferenceEngine:
             # ConvGRU hidden states, zero-init (transformer.py:444-453)
             ghk = jnp.zeros((lk.shape[0], b, eh, ew, lk.shape[-1]), lk.dtype)
             ghv = jnp.zeros((lv.shape[0], b, eh, ew, lv.shape[-1]), lv.dtype)
+        # record starts as zeros (not None) so the state pytree structure is
+        # stable across propagate calls (lax.scan carry requirement); it is
+        # only consumed when the bank is full, never right after reference
+        record0 = (jnp.zeros((b, hw, cfg.max_mem_slots), jnp.float32)
+                   if self.need_record else None)
         state = EngineState(
             bank=bank, short_k=sk, short_v=sv, short_id_v=siv,
-            mems=mems, record=None, logits4x=logits,
+            mems=mems, record=record0, logits4x=logits,
             frame_step=jnp.asarray(frame_step, jnp.int32),
             last_mem_step=jnp.asarray(frame_step, jnp.int32),
             gap=jnp.asarray(gap, jnp.int32),
@@ -284,6 +291,22 @@ class InferenceEngine:
     def step(self, state: EngineState, img, out_hw: Tuple[int, int]):
         """Fused propagate+update; returns (state, merged label at out_hw)."""
         return self._step(self.params, state, img, out_hw=out_hw)
+
+    # -- chunked frame scan ---------------------------------------------
+    def _scan_impl(self, params, state: EngineState, imgs, out_hw):
+        """lax.scan of the fused step over a chunk of frames: ONE dispatch
+        per chunk, so per-call host/tunnel latency is amortized across K
+        frames (SURVEY §7 step 4's 'engine as a scan'). imgs: [K, B, H, W, 3];
+        returns (state, labels [K, *out_hw])."""
+        def body(st, img):
+            st, label = self._step_impl(params, st, img, out_hw)
+            return st, label
+
+        return jax.lax.scan(body, state, imgs)
+
+    def scan_steps(self, state: EngineState, imgs, out_hw: Tuple[int, int]):
+        """Process a [K, B, H, W, 3] frame chunk in one dispatch."""
+        return self._scan(self.params, state, imgs, out_hw=out_hw)
 
     def _enc_hw(self, state: EngineState) -> Tuple[int, int]:
         """16x grid dims from the (static) 4x logits shape."""

@@ -150,6 +150,75 @@ def dense_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out, (probs if need_record else None)
 
 
+def windowed_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                             rel_emb: jnp.ndarray, size_2d: Tuple[int, int],
+                             num_heads: int, max_dis: int = 7,
+                             scale: Optional[float] = None) -> jnp.ndarray:
+    """Shift-based windowed local attention — gather-free TPU formulation.
+
+    Mathematically identical to `dense_local_attention` (same reference
+    semantics, attention.py:289-361) but built from (2m+1)^2 static spatial
+    shifts of zero-padded K/V: logits live in window space [B,h,HW,win^2]
+    where the learned relative bias applies with NO [HW,HW] gather, and the
+    value aggregation is a per-offset multiply-accumulate. On TPU the dense
+    variant's bias gather costs ~35 ms/layer at VOS sizes; this one is
+    pure VPU shifts.
+    """
+    h2d, w2d = size_2d
+    b, hw, chd = q.shape
+    dh = chd // num_heads
+    cv = v.shape[-1]
+    dv = cv // num_heads
+    full_win = 2 * max_dis + 1
+    # offsets beyond the grid are always masked out, so clamping the window
+    # to the grid is exact and shrinks the unrolled shift count on small
+    # feature maps (matters for compile time)
+    eff_dis = min(max_dis, h2d - 1, w2d - 1)
+    win = 2 * eff_dis + 1
+    if eff_dis != max_dis:
+        r = rel_emb.reshape(b, hw, num_heads, full_win, full_win)
+        lo, hi = max_dis - eff_dis, max_dis + eff_dis + 1
+        rel_emb = r[..., lo:hi, lo:hi].reshape(b, hw, num_heads * win * win)
+    max_dis = eff_dis
+    scale = scale if scale is not None else dh ** -0.5
+
+    q4 = q.reshape(b, h2d, w2d, num_heads, dh)
+    k4 = jnp.pad(k.reshape(b, h2d, w2d, num_heads, dh),
+                 ((0, 0), (max_dis, max_dis), (max_dis, max_dis),
+                  (0, 0), (0, 0)))
+    valid = jnp.pad(jnp.ones((1, h2d, w2d, 1, 1), q.dtype),
+                    ((0, 0), (max_dis, max_dis), (max_dis, max_dis),
+                     (0, 0), (0, 0)))
+
+    logits = []
+    for dy in range(win):
+        for dx in range(win):
+            ks = jax.lax.dynamic_slice(
+                k4, (0, dy, dx, 0, 0), (b, h2d, w2d, num_heads, dh))
+            val = jax.lax.dynamic_slice(
+                valid, (0, dy, dx, 0, 0), (1, h2d, w2d, 1, 1))
+            lg = jnp.sum(q4 * ks, axis=-1) * scale          # [b,H,W,h]
+            lg = jnp.where(val[..., 0] > 0, lg, NEG_INF)
+            logits.append(lg)
+    logits = jnp.stack(logits, axis=-1)                      # [b,H,W,h,win2]
+    logits = logits.astype(jnp.float32) + \
+        rel_emb.reshape(b, h2d, w2d, num_heads, win * win).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+
+    v4 = jnp.pad(v.reshape(b, h2d, w2d, num_heads, dv),
+                 ((0, 0), (max_dis, max_dis), (max_dis, max_dis),
+                  (0, 0), (0, 0)))
+    out = jnp.zeros((b, h2d, w2d, num_heads, dv), v.dtype)
+    o = 0
+    for dy in range(win):
+        for dx in range(win):
+            vs = jax.lax.dynamic_slice(
+                v4, (0, dy, dx, 0, 0), (b, h2d, w2d, num_heads, dv))
+            out = out + probs[..., o:o + 1] * vs
+            o += 1
+    return out.reshape(b, hw, num_heads * dv)
+
+
 def bank_attention_dispatch(q, bank_k, bank_v, slot_mask, num_heads: int,
                             need_record: bool = False,
                             scale: Optional[float] = None,

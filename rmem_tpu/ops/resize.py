@@ -46,29 +46,60 @@ def interp_matrix(n_out: int, n_in: int, align_corners: bool = True,
     return jnp.asarray(_interp_matrix_np(n_out, n_in, align_corners), dtype)
 
 
+@functools.lru_cache(maxsize=256)
+def _lerp_idx_np(n_out: int, n_in: int, align_corners: bool):
+    """(lo, hi, w) per output position — exact torch bilinear coordinates."""
+    if n_in == 1:
+        lo = np.zeros(n_out, np.int64)
+        return lo, lo, np.zeros(n_out, np.float32)
+    if align_corners:
+        if n_out == 1:
+            pos = np.zeros((1,), np.float64)
+        else:
+            pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    else:
+        pos = (np.arange(n_out, dtype=np.float64) + 0.5) * n_in / n_out - 0.5
+        pos = np.clip(pos, 0.0, n_in - 1)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 1)
+    hi = np.minimum(lo + 1, n_in - 1)
+    return lo, hi, (pos - lo).astype(np.float32)
+
+
+def _lerp_axis(x: jnp.ndarray, n_out: int, axis: int,
+               align_corners: bool) -> jnp.ndarray:
+    lo, hi, w = _lerp_idx_np(n_out, x.shape[axis], align_corners)
+    shape = [1] * x.ndim
+    shape[axis] = n_out
+    wv = jnp.asarray(w).reshape(shape)
+    a = jnp.take(x, jnp.asarray(lo), axis=axis)
+    b = jnp.take(x, jnp.asarray(hi), axis=axis)
+    return a * (1.0 - wv) + b * wv
+
+
 def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = True,
                     channel_last: bool = True) -> jnp.ndarray:
-    """Bilinear resize of NHWC (or NCHW) images via interpolation matmuls."""
+    """Bilinear resize with exact torch semantics.
+
+    Implemented as row/column gathers + lerp (pure VPU work): the
+    interp-matrix matmul formulation is exact too but runs 20x slower on TPU
+    because the sparse matrices force high-precision dense matmuls.
+    """
     H, W = out_hw
     if channel_last:
         b, h, w, c = x.shape
         if (h, w) == (H, W):
             return x
-        mh = interp_matrix(H, h, align_corners, jnp.float32)
-        mw = interp_matrix(W, w, align_corners, jnp.float32)
-        y = jnp.einsum("Hh,bhwc->bHwc", mh, x.astype(jnp.float32),
-                       precision="highest")
-        y = jnp.einsum("Ww,bHwc->bHWc", mw, y, precision="highest")
+        y = x.astype(jnp.float32)
+        y = _lerp_axis(y, H, 1, align_corners)
+        y = _lerp_axis(y, W, 2, align_corners)
         return y.astype(x.dtype)
     else:
         b, c, h, w = x.shape
         if (h, w) == (H, W):
             return x
-        mh = interp_matrix(H, h, align_corners, jnp.float32)
-        mw = interp_matrix(W, w, align_corners, jnp.float32)
-        y = jnp.einsum("Hh,bchw->bcHw", mh, x.astype(jnp.float32),
-                       precision="highest")
-        y = jnp.einsum("Ww,bcHw->bcHW", mw, y, precision="highest")
+        y = x.astype(jnp.float32)
+        y = _lerp_axis(y, H, 2, align_corners)
+        y = _lerp_axis(y, W, 3, align_corners)
         return y.astype(x.dtype)
 
 

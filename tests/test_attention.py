@@ -126,3 +126,25 @@ def test_interleave_heads():
     expect = np.concatenate([np.arange(4), -np.arange(4),
                              np.arange(4, 8), -np.arange(4, 8)])
     np.testing.assert_array_equal(np.asarray(out)[0, 0], expect)
+
+
+@pytest.mark.parametrize("heads", [1, 2])
+def test_windowed_matches_dense_local_attention(heads):
+    from rmem_tpu.ops.attention import windowed_local_attention
+    rng = np.random.RandomState(4)
+    h2d, w2d, max_dis = 7, 9, 2
+    hw = h2d * w2d
+    win2 = (2 * max_dis + 1) ** 2
+    d, dv, b = 8, 6, 2
+    q = rng.randn(b, hw, heads * d).astype(np.float32)
+    k = rng.randn(b, hw, heads * d).astype(np.float32)
+    v = rng.randn(b, hw, heads * dv).astype(np.float32)
+    rel = rng.randn(b, hw, heads * win2).astype(np.float32)
+    ref, _ = dense_local_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), jnp.asarray(rel),
+                                   (h2d, w2d), heads, max_dis)
+    got = windowed_local_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), jnp.asarray(rel),
+                                   (h2d, w2d), heads, max_dis)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
