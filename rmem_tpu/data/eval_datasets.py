@@ -11,6 +11,7 @@ introduction via the per-frame obj_nums/obj_indices scan
 from __future__ import annotations
 
 import os
+import zlib
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional, Sequence
 
@@ -196,7 +197,10 @@ class _SyntheticSequence(VideoSequence):
         super().__post_init__()
 
     def _read_image(self, name):
-        rng = np.random.RandomState(abs(hash((self.name, name))) % (2 ** 31))
+        # zlib.crc32, not hash(): str hashes are salted per process, which
+        # would break cross-process determinism of the probe harness.
+        seed = zlib.crc32(f"{self.name}/{name}".encode()) % (2 ** 31)
+        rng = np.random.RandomState(seed)
         return rng.rand(*self.hw, 3).astype(np.float32) * 255.0
 
     def _read_label(self, name, squeeze_idx=None):

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,7 +68,33 @@ def _lerp_idx_np(n_out: int, n_in: int, align_corners: bool):
 
 def _lerp_axis(x: jnp.ndarray, n_out: int, axis: int,
                align_corners: bool) -> jnp.ndarray:
-    lo, hi, w = _lerp_idx_np(n_out, x.shape[axis], align_corners)
+    n_in = x.shape[axis]
+    # fast exact paths for the stride-snapped sizes this framework uses:
+    # gathers along minor axes are slow on TPU, but align-corners resizes
+    # between (k*r+1)-sized grids are pure interleaves / strided slices.
+    if align_corners and n_in > 1 and n_out > 1:
+        if (n_out - 1) % (n_in - 1) == 0:
+            r = (n_out - 1) // (n_in - 1)
+            if r == 1:
+                return x
+            a = x
+            idx_last = [slice(None)] * x.ndim
+            idx_last[axis] = slice(n_in - 1, n_in)
+            last = x[tuple(idx_last)]
+            b = jnp.concatenate(
+                [jax.lax.slice_in_dim(x, 1, n_in, axis=axis), last],
+                axis=axis)
+            planes = [a * (1.0 - s / r) + b * (s / r) for s in range(r)]
+            stacked = jnp.stack(planes, axis=axis + 1)  # [..., n_in, r, ...]
+            new_shape = list(x.shape)
+            new_shape[axis] = n_in * r
+            out = stacked.reshape(new_shape)
+            return jax.lax.slice_in_dim(out, 0, (n_in - 1) * r + 1, axis=axis)
+        if (n_in - 1) % (n_out - 1) == 0:
+            r = (n_in - 1) // (n_out - 1)
+            # pos = i*r exactly: strided subsample, zero interpolation weight
+            return jax.lax.slice_in_dim(x, 0, n_in, stride=r, axis=axis)
+    lo, hi, w = _lerp_idx_np(n_out, n_in, align_corners)
     shape = [1] * x.ndim
     shape[axis] = n_out
     wv = jnp.asarray(w).reshape(shape)
