@@ -44,6 +44,9 @@ class Config:
     model_norm_inp: bool = True
     model_freeze_bn: bool = True
     model_freeze_backbone: bool = False
+    # top-down encoder reconstruction regularizer
+    # (configs/models/r50_topdown_aotl.py:9 VAR_LOSS_WEIGHT)
+    var_loss_weight: float = 0.0
     model_max_obj_num: int = 10
     model_ignore_token: bool = True
     model_self_heads: int = 8
@@ -243,6 +246,11 @@ MODEL_PRESETS: Dict[str, Dict[str, Any]] = {
     "aotl": dict(model_vos="aot", model_engine="aotengine", model_lstt_num=3,
                  train_long_term_mem_gap=2, test_long_term_mem_gap=5),
     "r50_aotl": _r50_common(model_vos="aot", model_engine="aotengine"),
+    # configs/models/r50_topdown_aotl.py: feedback encoder + var loss 0.01
+    "r50_topdown_aotl": _r50_common(
+        model_vos="aot", model_engine="aotengine",
+        model_encoder="resnet50_topdown",
+        model_encoder_dim=(256, 512, 1024, 1024), var_loss_weight=0.01),
     "aotl_v3": dict(model_vos="aot", model_engine="aotengine",
                     model_encoder="mobilenetv3",
                     model_encoder_dim=(24, 40, 112, 960), model_lstt_num=3,

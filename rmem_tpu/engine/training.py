@@ -53,7 +53,18 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
     deterministic = dp_rng is None
 
     # 1. offline encode all frames at once (aot_engine.py:174-196)
-    xs_flat = apply(type(model).encode_image, _flatten_frames(imgs))
+    var_loss = jnp.zeros(())
+    if cfg.var_loss_weight > 0:
+        # top-down encoder's reconstruction regularizer, sown into
+        # 'aux_losses' (aot_engine.py:116-118, resnet.py:344-356)
+        xs_flat, aux = model.apply(
+            {"params": params}, _flatten_frames(imgs),
+            method=type(model).encode_image, mutable=["aux_losses"])
+        sown = jax.tree_util.tree_leaves(aux)
+        if sown:
+            var_loss = jnp.mean(jnp.stack([jnp.asarray(v) for v in sown]))
+    else:
+        xs_flat = apply(type(model).encode_image, _flatten_frames(imgs))
     n_levels = len(xs_flat)
     xs_bt = [x.reshape((b, t) + x.shape[1:]) for x in xs_flat]
 
@@ -203,4 +214,9 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
     loss = aux_w * aux_loss.mean() + pred_loss
     metrics = {"loss": loss, "aux_loss": aux_loss.mean(),
                "pred_loss": pred_loss, "aux_weight": aux_w}
+    if cfg.var_loss_weight > 0:
+        # loss += VAR_LOSS_WEIGHT * var_loss (aot_engine.py:116-117)
+        loss = loss + cfg.var_loss_weight * var_loss
+        metrics["loss"] = loss
+        metrics["var_loss"] = var_loss
     return loss, metrics

@@ -4,7 +4,8 @@ from __future__ import annotations
 
 from rmem_tpu.models.encoders.resnet import ResNet50, ResNet101  # noqa: F401
 from rmem_tpu.models.encoders.mobilenet import MobileNetV2  # noqa: F401
-from rmem_tpu.models.encoders.tiny import TinyEncoder  # noqa: F401
+from rmem_tpu.models.encoders.tiny import (TinyEncoder,  # noqa: F401
+                                           TinyTopDownEncoder)
 from rmem_tpu.models.encoders.swin import SwinB  # noqa: F401
 from rmem_tpu.models.encoders.mobilenetv3 import MobileNetV3Large  # noqa: F401,E501
 from rmem_tpu.models.encoders.resnest import ResNeSt50, ResNeSt101  # noqa: F401,E501
@@ -20,6 +21,8 @@ def build_encoder(name: str, dtype=None):
         return MobileNetV2(dtype=dtype)
     if name == "tiny":
         return TinyEncoder(dtype=dtype)
+    if name == "tiny_topdown":
+        return TinyTopDownEncoder(dtype=dtype)
     if name in ("swin_base", "swinb"):
         return SwinB(dtype=dtype)
     if name == "mobilenetv3":

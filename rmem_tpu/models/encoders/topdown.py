@@ -26,12 +26,13 @@ from rmem_tpu.ops.layers import FoldedBN, conv, max_pool_3x3_s2
 from rmem_tpu.ops.resize import resize_bilinear
 
 
-def _conv_transpose_torch(x, features, kernel, stride, pad, name, dtype):
+def _conv_transpose_torch(x, features, kernel, stride, pad, name, dtype,
+                          bias: bool = False):
     """torch ConvTranspose2d semantics: out = (in-1)*s - 2p + k, via VALID
     transpose conv + crop."""
     y = nn.ConvTranspose(features, (kernel, kernel),
                          strides=(stride, stride), padding="VALID",
-                         use_bias=False, name=name, dtype=dtype)(x)
+                         use_bias=bias, name=name, dtype=dtype)(x)
     if pad:
         y = y[:, pad:-pad, pad:-pad, :]
     return y
@@ -62,7 +63,10 @@ class _StemDecode(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = _conv_transpose_torch(x, 64, 3, 2, 1, "unpool", self.dtype)
+        # the maxpool-inverse transpose keeps its bias (resnet.py:274 uses
+        # torch's default bias=True, unlike the Decode_Block transposes)
+        y = _conv_transpose_torch(x, 64, 3, 2, 1, "unpool", self.dtype,
+                                  bias=True)
         y = _conv_transpose_torch(y, 3, 7, 2, 3, "linear", self.dtype)
         out = conv(3, 1, bias=False, name="linear2", dtype=self.dtype)(y)
         return y, out

@@ -30,16 +30,20 @@ def main():
     p.add_argument("--probe", action="store_true",
                    help="print per-frame logit probes (determinism harness, "
                         "reference --debug_fix_random)")
+    p.add_argument("--opt", nargs="*", default=[], metavar="KEY=VALUE",
+                   help="generic config overrides")
     args = p.parse_args()
 
     from rmem_tpu.config import get_config
+    from rmem_tpu.tools.train import _parse_opts
     cfg = get_config(
         args.stage, args.exp_name, args.model,
         test_dataset=args.dataset, test_dataset_split=args.split,
         test_ckpt_path=args.ckpt_path,
         former_mem_len=args.former_mem_len,
         latter_mem_len=args.latter_mem_len,
-        test_flip=args.flip, test_multiscale=tuple(args.ms))
+        test_flip=args.flip, test_multiscale=tuple(args.ms),
+        **_parse_opts(args.opt))
 
     from rmem_tpu.managers.evaluator import Evaluator
     from rmem_tpu.utils import enable_compilation_cache

@@ -4,6 +4,22 @@ result dir, run the Trainer. One process drives the whole device mesh."""
 from __future__ import annotations
 
 import argparse
+import ast
+
+
+def _parse_opts(pairs):
+    """KEY=VALUE config overrides; values parsed as Python literals when
+    possible (ints/floats/bools/tuples), kept as strings otherwise."""
+    over = {}
+    for kv in pairs:
+        if "=" not in kv:
+            raise SystemExit(f"--opt expects KEY=VALUE, got {kv!r}")
+        k, v = kv.split("=", 1)
+        try:
+            over[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            over[k] = v
+    return over
 
 
 def main():
@@ -20,10 +36,13 @@ def main():
     p.add_argument("--max_steps", type=int, default=None,
                    help="stop early (smoke runs)")
     p.add_argument("--fix_random", action="store_true")
+    p.add_argument("--opt", nargs="*", default=[], metavar="KEY=VALUE",
+                   help="generic config overrides, e.g. "
+                        "--opt var_loss_weight=0.01 model_encoder=tiny")
     args = p.parse_args()
 
     from rmem_tpu.config import get_config
-    over = {}
+    over = _parse_opts(args.opt)
     if args.batch_size:
         over["train_batch_size"] = args.batch_size
     if args.total_steps:

@@ -96,6 +96,13 @@ def _dense(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 0))
 
 
+def _conv_t(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d [in,out,kH,kW] -> flax ConvTranspose
+    [kH,kW,in,out] (default transpose_kernel=False needs the spatial flip;
+    verified numerically against torch)."""
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
     obj = torch.load(path, map_location="cpu", weights_only=False)
@@ -195,6 +202,105 @@ def _convert_mobilenetv2(sd, out: Dict[Tuple[str, ...], np.ndarray]):
         out[e + ("head", "bn", k)] = v
 
 
+def _convert_mobilenetv3(sd, out: Dict[Tuple[str, ...], np.ndarray]):
+    """Reference MobileNetV3-Large naming (flat block Sequentials,
+    mobilenetv3.py:78-205) -> models/encoders/mobilenetv3.py names."""
+    e = ("encoder",)
+    out[e + ("stem", "kernel")] = _conv(sd["encoder.features.0.0.weight"])
+    for k, v in _fold_bn(sd, "encoder.features.0.1").items():
+        out[e + ("stem_bn", k)] = v
+    # (k, t, c, SE, HS, s) rows of the cfgs table (mobilenetv3.py:150-166);
+    # only block 1 has inp == hidden (t=1), which drops the leading pw conv
+    # and shifts every index down by 3
+    se_blocks = {4, 5, 6, 11, 12, 13, 14, 15}
+    for idx in range(1, 16):
+        tp = f"encoder.features.{idx}.conv"
+        f = e + (f"block{idx}",)
+        has_pw = f"{tp}.0.weight" in sd and sd[f"{tp}.0.weight"].shape[2] == 1
+        if has_pw:
+            out[f + ("pw", "kernel")] = _conv(sd[f"{tp}.0.weight"])
+            for k, v in _fold_bn(sd, f"{tp}.1").items():
+                out[f + ("pw_bn", k)] = v
+            dw, dwbn, se, pwl, bno = (f"{tp}.3", f"{tp}.4", f"{tp}.5",
+                                      f"{tp}.7", f"{tp}.8")
+        else:
+            dw, dwbn, se, pwl, bno = (f"{tp}.0", f"{tp}.1", f"{tp}.3",
+                                      f"{tp}.4", f"{tp}.5")
+        out[f + ("dw", "kernel")] = _conv(sd[f"{dw}.weight"])
+        for k, v in _fold_bn(sd, dwbn).items():
+            out[f + ("dw_bn", k)] = v
+        if idx in se_blocks:
+            _put_dense(sd, out, f"{se}.fc.0", f + ("se", "fc1"))
+            _put_dense(sd, out, f"{se}.fc.2", f + ("se", "fc2"))
+        out[f + ("pw_linear", "kernel")] = _conv(sd[f"{pwl}.weight"])
+        for k, v in _fold_bn(sd, bno).items():
+            out[f + ("out_bn", k)] = v
+    out[e + ("head", "kernel")] = _conv(sd["encoder.conv.0.weight"])
+    for k, v in _fold_bn(sd, "encoder.conv.1").items():
+        out[e + ("head_bn", k)] = v
+
+
+def _convert_resnest(sd, out: Dict[Tuple[str, ...], np.ndarray],
+                     layers=(3, 4, 6)):
+    """ResNeSt deep-stem + split-attention naming (resnest/resnet.py:27-357,
+    splat.py:15-115) -> models/encoders/resnest.py names."""
+    e = ("encoder",)
+    # deep stem: conv1 = Sequential(conv,bn,relu,conv,bn,relu,conv) + bn1
+    for ti, fn, bn in ((0, "stem0", "stem0_bn"), (3, "stem1", "stem1_bn"),
+                       (6, "stem2", "bn1")):
+        out[e + (fn, "kernel")] = _conv(sd[f"encoder.conv1.{ti}.weight"])
+        bkey = "encoder.bn1" if bn == "bn1" else f"encoder.conv1.{ti + 1}"
+        for k, v in _fold_bn(sd, bkey).items():
+            out[e + (bn, k)] = v
+    for stage, blocks in enumerate(layers, start=1):
+        for i in range(blocks):
+            tp = f"encoder.layer{stage}.{i}"
+            fp = e + (f"layer{stage}_{i}",)
+            for c in ("conv1", "conv3"):
+                out[fp + (c, "kernel")] = _conv(sd[f"{tp}.{c}.weight"])
+            for b in ("bn1", "bn3"):
+                for k, v in _fold_bn(sd, f"{tp}.{b}").items():
+                    out[fp + (b, k)] = v
+            sp = fp + ("conv2",)
+            out[sp + ("conv", "kernel")] = _conv(sd[f"{tp}.conv2.conv.weight"])
+            for k, v in _fold_bn(sd, f"{tp}.conv2.bn0").items():
+                out[sp + ("bn0", k)] = v
+            out[sp + ("fc1", "kernel")] = _conv(sd[f"{tp}.conv2.fc1.weight"])
+            out[sp + ("fc1", "bias")] = sd[f"{tp}.conv2.fc1.bias"]
+            for k, v in _fold_bn(sd, f"{tp}.conv2.bn1").items():
+                out[sp + ("bn1", k)] = v
+            out[sp + ("fc2", "kernel")] = _conv(sd[f"{tp}.conv2.fc2.weight"])
+            out[sp + ("fc2", "bias")] = sd[f"{tp}.conv2.fc2.bias"]
+            # avg_down shortcut: Sequential(AvgPool, Conv, BN) -> indices 1,2
+            if f"{tp}.downsample.1.weight" in sd:
+                out[fp + ("downsample_conv", "kernel")] = _conv(
+                    sd[f"{tp}.downsample.1.weight"])
+                for k, v in _fold_bn(sd, f"{tp}.downsample.2").items():
+                    out[fp + ("downsample_bn", k)] = v
+
+
+def _convert_topdown(sd, out: Dict[Tuple[str, ...], np.ndarray]):
+    """ResNet_TopDown (resnet.py:216-300): the ResNet trunk plus feedback
+    decoders, prompt, and top-down transform."""
+    _convert_resnet(sd, out)
+    e = ("encoder",)
+    # decoders.0 = Sequential(ConvTranspose(bias), Decode_Block(k7 s2))
+    out[e + ("dec0", "unpool", "kernel")] = _conv_t(
+        sd["encoder.decoders.0.0.weight"])
+    out[e + ("dec0", "unpool", "bias")] = sd["encoder.decoders.0.0.bias"]
+    out[e + ("dec0", "linear", "kernel")] = _conv_t(
+        sd["encoder.decoders.0.1.linear.weight"])
+    out[e + ("dec0", "linear2", "kernel")] = _conv(
+        sd["encoder.decoders.0.1.linear2.weight"])
+    for i in (1, 2, 3):
+        out[e + (f"dec{i}", "linear", "kernel")] = _conv_t(
+            sd[f"encoder.decoders.{i}.linear.weight"])
+        out[e + (f"dec{i}", "linear2", "kernel")] = _conv(
+            sd[f"encoder.decoders.{i}.linear2.weight"])
+    out[e + ("prompt",)] = sd["encoder.prompt"]
+    out[e + ("top_down_transform",)] = sd["encoder.top_down_transform"]
+
+
 def _put_dense(sd, out, tname: str, fpath: Tuple[str, ...],
                required: bool = True):
     wkey = f"{tname}.weight"
@@ -289,8 +395,14 @@ def convert_torch_checkpoint(sd: Dict[str, np.ndarray], model_vos: str,
     out: Dict[Tuple[str, ...], np.ndarray] = {}
     if "encoder.patch_embed.proj.weight" in sd:
         _convert_swin(sd, out)
+    elif "encoder.conv.0.weight" in sd:  # MNv3's final 1x1 expansion
+        _convert_mobilenetv3(sd, out)
     elif "encoder.features.0.0.weight" in sd:
         _convert_mobilenetv2(sd, out)
+    elif "encoder.conv1.0.weight" in sd:  # ResNeSt deep stem
+        _convert_resnest(sd, out)
+    elif "encoder.prompt" in sd:
+        _convert_topdown(sd, out)
     else:
         _convert_resnet(sd, out)
     out[("encoder_projector", "kernel")] = _conv(

@@ -264,3 +264,190 @@ def test_encoder_converter_coverage(kind, builder):
     bad = [(k, out[k].shape, flat[k].shape) for k in flat
            if out[k].shape != flat[k].shape]
     assert not bad, f"shape mismatches {bad[:8]}"
+
+
+def _rand_like_torch_conv(rng, leaf):
+    """Torch-shaped random conv weight for a flax kernel [kh,kw,in,out]."""
+    kh, kw, cin, cout = leaf.shape
+    return rng.randn(cout, cin, kh, kw).astype(np.float32)
+
+
+def _fabricate_mnv3_sd(flat, rng):
+    sd = {}
+
+    def bn(t, c):
+        sd[f"{t}.weight"] = rng.randn(c).astype(np.float32)
+        sd[f"{t}.bias"] = rng.randn(c).astype(np.float32)
+        sd[f"{t}.running_mean"] = rng.randn(c).astype(np.float32)
+        sd[f"{t}.running_var"] = np.abs(rng.randn(c)).astype(np.float32) + .5
+
+    for path, leaf in flat.items():
+        leaf = np.asarray(leaf)
+        p = list(path)
+        if p[1] == "stem":
+            sd["encoder.features.0.0.weight"] = _rand_like_torch_conv(
+                rng, leaf)
+        elif p[1] == "stem_bn":
+            bn("encoder.features.0.1", leaf.shape[0])
+        elif p[1] == "head":
+            sd["encoder.conv.0.weight"] = _rand_like_torch_conv(rng, leaf)
+        elif p[1] == "head_bn":
+            bn("encoder.conv.1", leaf.shape[0])
+        elif p[1].startswith("block"):
+            i = int(p[1].replace("block", ""))
+            has_pw = any(k[1] == p[1] and k[2] == "pw" for k in flat)
+            tp = f"encoder.features.{i}.conv"
+            idx = {  # torch Sequential indices (mobilenetv3.py:95-133)
+                "pw": "0", "pw_bn": "1",
+                "dw": "3" if has_pw else "0",
+                "dw_bn": "4" if has_pw else "1",
+                "se": "5" if has_pw else "3",
+                "pw_linear": "7" if has_pw else "4",
+                "out_bn": "8" if has_pw else "5"}[p[2]]
+            if p[2].endswith("bn") or p[2] == "out_bn":
+                bn(f"{tp}.{idx}", leaf.shape[0])
+            elif p[2] == "se":
+                fc = "0" if p[3] == "fc1" else "2"
+                if p[4] == "kernel":
+                    sd[f"{tp}.{idx}.fc.{fc}.weight"] = np.transpose(
+                        rng.randn(*leaf.shape).astype(np.float32), (1, 0))
+                else:
+                    sd[f"{tp}.{idx}.fc.{fc}.bias"] = rng.randn(
+                        *leaf.shape).astype(np.float32)
+            else:
+                sd[f"{tp}.{idx}.weight"] = _rand_like_torch_conv(rng, leaf)
+    return sd
+
+
+def _fabricate_resnest_sd(flat, rng):
+    sd = {}
+
+    def bn(t, c):
+        sd[f"{t}.weight"] = rng.randn(c).astype(np.float32)
+        sd[f"{t}.bias"] = rng.randn(c).astype(np.float32)
+        sd[f"{t}.running_mean"] = rng.randn(c).astype(np.float32)
+        sd[f"{t}.running_var"] = np.abs(rng.randn(c)).astype(np.float32) + .5
+
+    stem = {"stem0": "encoder.conv1.0", "stem1": "encoder.conv1.3",
+            "stem2": "encoder.conv1.6"}
+    stem_bn = {"stem0_bn": "encoder.conv1.1", "stem1_bn": "encoder.conv1.4",
+               "bn1": "encoder.bn1"}
+    for path, leaf in flat.items():
+        leaf = np.asarray(leaf)
+        p = list(path)
+        if p[1] in stem:
+            sd[f"{stem[p[1]]}.weight"] = _rand_like_torch_conv(rng, leaf)
+        elif p[1] in stem_bn:
+            bn(stem_bn[p[1]], leaf.shape[0])
+        elif p[1].startswith("layer"):
+            st, i = p[1].replace("layer", "").split("_")
+            tp = f"encoder.layer{st}.{i}"
+            if p[2] == "conv2":  # SplAtConv2d
+                sub = p[3]
+                if sub.startswith("bn"):
+                    bn(f"{tp}.conv2.{sub}", leaf.shape[0])
+                elif p[4] == "bias":
+                    sd[f"{tp}.conv2.{sub}.bias"] = rng.randn(
+                        *leaf.shape).astype(np.float32)
+                else:
+                    sd[f"{tp}.conv2.{sub}.weight"] = _rand_like_torch_conv(
+                        rng, leaf)
+            elif p[2].startswith("bn"):
+                bn(f"{tp}.{p[2]}", leaf.shape[0])
+            elif p[2] == "downsample_conv":
+                sd[f"{tp}.downsample.1.weight"] = _rand_like_torch_conv(
+                    rng, leaf)
+            elif p[2] == "downsample_bn":
+                bn(f"{tp}.downsample.2", leaf.shape[0])
+            else:
+                sd[f"{tp}.{p[2]}.weight"] = _rand_like_torch_conv(rng, leaf)
+    return sd
+
+
+def _fabricate_topdown_sd(flat, rng):
+    sd = {}
+
+    def bn(t, c):
+        sd[f"{t}.weight"] = rng.randn(c).astype(np.float32)
+        sd[f"{t}.bias"] = rng.randn(c).astype(np.float32)
+        sd[f"{t}.running_mean"] = rng.randn(c).astype(np.float32)
+        sd[f"{t}.running_var"] = np.abs(rng.randn(c)).astype(np.float32) + .5
+
+    def conv_t_shape(leaf):  # flax [kh,kw,in,out] -> torch [in,out,kh,kw]
+        kh, kw, cin, cout = leaf.shape
+        return rng.randn(cin, cout, kh, kw).astype(np.float32)
+
+    for path, leaf in flat.items():
+        leaf = np.asarray(leaf)
+        p = list(path)
+        if p[1] == "conv1":
+            sd["encoder.conv1.weight"] = _rand_like_torch_conv(rng, leaf)
+        elif p[1] == "bn1":
+            bn("encoder.bn1", leaf.shape[0])
+        elif p[1].startswith("layer"):
+            st, i = p[1].replace("layer", "").split("_")
+            tp = f"encoder.layer{st}.{i}"
+            sub = {"downsample_conv": "downsample.0",
+                   "downsample_bn": "downsample.1"}.get(p[2], p[2])
+            if "bn" in p[2]:
+                bn(f"{tp}.{sub}", leaf.shape[0])
+            else:
+                sd[f"{tp}.{sub}.weight"] = _rand_like_torch_conv(rng, leaf)
+        elif p[1] == "dec0":
+            if p[2] == "unpool":
+                if p[3] == "bias":
+                    sd["encoder.decoders.0.0.bias"] = rng.randn(
+                        *leaf.shape).astype(np.float32)
+                else:
+                    sd["encoder.decoders.0.0.weight"] = conv_t_shape(leaf)
+            elif p[2] == "linear":
+                sd["encoder.decoders.0.1.linear.weight"] = conv_t_shape(leaf)
+            else:
+                sd["encoder.decoders.0.1.linear2.weight"] = \
+                    _rand_like_torch_conv(rng, leaf)
+        elif p[1].startswith("dec"):
+            i = p[1][-1]
+            if p[2] == "linear":
+                sd[f"encoder.decoders.{i}.linear.weight"] = conv_t_shape(leaf)
+            else:
+                sd[f"encoder.decoders.{i}.linear2.weight"] = \
+                    _rand_like_torch_conv(rng, leaf)
+        elif p[1] == "prompt":
+            sd["encoder.prompt"] = rng.randn(*leaf.shape).astype(np.float32)
+        elif p[1] == "top_down_transform":
+            sd["encoder.top_down_transform"] = rng.randn(
+                *leaf.shape).astype(np.float32)
+    return sd
+
+
+@pytest.mark.parametrize("kind,builder", [
+    ("mobilenetv3", "mobilenetv3"),
+    ("resnest", "resnest50"),
+    ("topdown", "resnet50_topdown"),
+])
+def test_encoder_converter_coverage_extended(kind, builder):
+    import jax as _jax
+    import jax.numpy as jnp
+    from rmem_tpu.models.encoders import build_encoder
+    from rmem_tpu.utils.checkpoint import (_convert_mobilenetv3,
+                                           _convert_resnest,
+                                           _convert_topdown)
+    enc = build_encoder(builder)
+    x = jnp.zeros((1, 65, 65, 3))
+    variables = _jax.jit(lambda: enc.init(_jax.random.PRNGKey(0), x))()
+    flat = {("encoder",) + k: v
+            for k, v in trav.flatten_dict(variables["params"]).items()}
+    rng = np.random.RandomState(7)
+    fab = {"mobilenetv3": _fabricate_mnv3_sd, "resnest": _fabricate_resnest_sd,
+           "topdown": _fabricate_topdown_sd}[kind]
+    conv_fn = {"mobilenetv3": _convert_mobilenetv3,
+               "resnest": _convert_resnest,
+               "topdown": _convert_topdown}[kind]
+    sd = fab(flat, rng)
+    out = {}
+    conv_fn(sd, out)
+    missing = [k for k in flat if k not in out]
+    assert not missing, f"converter missed {missing[:8]}"
+    bad = [(k, out[k].shape, flat[k].shape) for k in flat
+           if out[k].shape != flat[k].shape]
+    assert not bad, f"shape mismatches {bad[:8]}"

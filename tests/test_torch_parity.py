@@ -650,3 +650,34 @@ def test_lstt_stack_and_fpn_parity():
     np.testing.assert_allclose(
         np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1),
         atol=5e-4, rtol=2e-3)
+
+
+def test_topdown_decode_block_parity():
+    """_DecodeBlock (ConvTranspose + 1x1) matches a torch Decode_Block
+    (resnet.py:216-238) through the _conv_t weight mapping."""
+    from rmem_tpu.models.encoders.topdown import _DecodeBlock
+    from rmem_tpu.utils.checkpoint import _conv, _conv_t
+
+    torch.manual_seed(0)
+    lin = nn.ConvTranspose2d(32, 16, 3, stride=2, padding=1, bias=False)
+    lin2 = nn.Conv2d(16, 16, 1, bias=False)
+    x = torch.randn(1, 32, 9, 9)
+    y_t = lin(x)
+    out_t = lin2(y_t)
+
+    blk = _DecodeBlock(16, 3, 2)
+    xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    params = blk.init(jax.random.PRNGKey(0), xj)["params"]
+    params = {
+        "linear": {"kernel": jnp.asarray(
+            _conv_t(lin.weight.detach().numpy()).copy())},
+        "linear2": {"kernel": jnp.asarray(
+            _conv(lin2.weight.detach().numpy()))},
+    }
+    y_j, out_j = blk.apply({"params": params}, xj)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(y_j), (0, 3, 1, 2)),
+        y_t.detach().numpy(), atol=2e-5)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out_j), (0, 3, 1, 2)),
+        out_t.detach().numpy(), atol=2e-5)

@@ -94,3 +94,22 @@ def test_optimizer_group_labels():
     assert all(v == "frozen" for k, v in joined.items()
                if "/bn" in k or k.startswith("encoder/bn"))
     assert joined["lstt/block0/linear_Q/kernel"] == "base"
+
+
+def test_train_forward_var_loss():
+    """Top-down encoder aux reconstruction loss enters the objective
+    (aot_engine.py:115-118) and is reported as a metric."""
+    cfg = get_config("test", model="tiny_aotl", train_total_steps=100,
+                     model_encoder="tiny_topdown", var_loss_weight=0.01)
+    model = build_vos_model(cfg.model_vos, cfg)
+    params = init_params(model, jax.random.PRNGKey(0), HW)
+    batch = _batch(1, 3)
+    loss, metrics = train_forward(
+        model, params, batch["imgs"], batch["labels"], batch["obj_nums"],
+        jnp.float32(0), None, jnp.asarray(False), cfg)
+    assert np.isfinite(float(loss))
+    assert float(metrics["var_loss"]) > 0.0
+    base = float(metrics["aux_weight"] * metrics["aux_loss"]
+                 + metrics["pred_loss"])
+    assert float(loss) == pytest.approx(
+        base + 0.01 * float(metrics["var_loss"]), rel=1e-5)
