@@ -34,16 +34,22 @@ def main():
                    help="generic config overrides")
     args = p.parse_args()
 
-    from rmem_tpu.config import get_config
+    from rmem_tpu.config import Config, get_config
     from rmem_tpu.tools.train import _parse_opts
-    cfg = get_config(
-        args.stage, args.exp_name, args.model,
+    test_over = dict(
         test_dataset=args.dataset, test_dataset_split=args.split,
         test_ckpt_path=args.ckpt_path,
         former_mem_len=args.former_mem_len,
         latter_mem_len=args.latter_mem_len,
         test_flip=args.flip, test_multiscale=tuple(args.ms),
         **_parse_opts(args.opt))
+    cfg = get_config(args.stage, args.exp_name, args.model, **test_over)
+    # prefer the config saved at training time, re-applying the test-time
+    # flags on top (reference tools/eval.py:97-102)
+    saved = os.path.join(cfg.dir_result, "config.json")
+    if os.path.isfile(saved):
+        print(f"reloading saved training config: {saved}")
+        cfg = Config.load(saved).replace(**test_over)
 
     from rmem_tpu.managers.evaluator import Evaluator
     from rmem_tpu.utils import enable_compilation_cache

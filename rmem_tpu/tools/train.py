@@ -55,6 +55,14 @@ def main():
     cfg = get_config(args.stage, args.exp_name, args.model, **over)
     cfg.save()
 
+    # tee stdout into the result dir + snapshot the source tree
+    # (reference tools/train.py:30-38, utils/utils.py:44-96)
+    import os
+
+    from rmem_tpu.utils.logging import Tee, copy_codes
+    Tee(os.path.join(cfg.dir_result, "logs"), "train").install()
+    copy_codes(cfg.dir_result)
+
     if args.fix_random:
         import numpy as np
         np.random.seed(1)
