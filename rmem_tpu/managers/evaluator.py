@@ -22,6 +22,8 @@ Multi-object >10 runs as a group batch dim inside one engine state
 from __future__ import annotations
 
 import os
+import queue
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -129,6 +131,33 @@ class Evaluator:
         }
 
     # ------------------------------------------------------------------
+    def _prefetch(self, seq, max_frames: Optional[int]):
+        """One-frame-lookahead host pipeline: decode + resize + normalize +
+        H2D of frame i+1 on a worker thread while the device computes frame i
+        (replaces the reference's DataLoader worker, evaluator.py:306-321)."""
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def worker():
+            try:
+                for i, frame in enumerate(seq):
+                    if max_frames is not None and i >= max_frames:
+                        break
+                    imgs = [self._prep_frame(frame.image, aug)
+                            for aug in self.augs]
+                    q.put((i, frame, imgs))
+                q.put(None)
+            except BaseException as e:  # surface decode errors in main thread
+                q.put(e)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     def _eval_sequence(self, seq, max_frames: Optional[int] = None
                        ) -> SequenceResult:
         cfg = self.cfg
@@ -148,12 +177,9 @@ class Evaluator:
         seconds = 0.0
         n_processed = 0
 
-        for frame_idx, frame in enumerate(seq):
-            if max_frames is not None and frame_idx >= max_frames:
-                break
+        for frame_idx, frame, imgs in self._prefetch(seq, max_frames):
             n_processed += 1
             ori_h, ori_w = frame.image.shape[:2]
-            imgs = [self._prep_frame(frame.image, aug) for aug in self.augs]
             obj_idx = frame.obj_idx
 
             if frame_idx == 0:
