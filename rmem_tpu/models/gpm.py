@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from rmem_tpu.ops.attention import (bank_attention_dispatch,
                                     interleave_heads, multihead_attention,
-                                    windowed_local_attention)
+                                    tiled_local_attention)
 from rmem_tpu.ops.layers import DWConv2d, drop_path, layer_norm, silu
 
 MAX_LOCAL_DIS = 7  # window 15 (transformer.py:1023)
@@ -178,10 +178,10 @@ class GPMBlock(nn.Module):
 
         cat_local_v = jnp.concatenate([short_v, short_id_v], axis=-1)
         rel = self.relative_emb_k(curr_q)  # from unscaled q (attention.py:314)
-        agg3 = windowed_local_attention(curr_q, short_k, cat_local_v, rel,
-                                        size_2d, self.att_heads,
-                                        max_dis=MAX_LOCAL_DIS,
-                                        scale=self.d_att ** -0.5)
+        agg3 = tiled_local_attention(curr_q, short_k, cat_local_v, rel,
+                                     size_2d, self.att_heads,
+                                     max_dis=MAX_LOCAL_DIS,
+                                     scale=self.d_att ** -0.5)
         cat_tgt3 = self.short_tail(agg3, cat_u, size_2d, deterministic)
 
         tgt2, tgt_id2 = jnp.split(cat_tgt2, 2, axis=-1)

@@ -219,6 +219,115 @@ def windowed_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(b, hw, num_heads * dv)
 
 
+def tiled_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          rel_emb: jnp.ndarray, size_2d: Tuple[int, int],
+                          num_heads: int, max_dis: int = 7,
+                          scale: Optional[float] = None,
+                          tile: Optional[int] = None) -> jnp.ndarray:
+    """Tile-halo windowed local attention — the MXU formulation.
+
+    Same semantics as `dense_local_attention` / `windowed_local_attention`
+    (reference attention.py:289-361), but instead of (2m+1)^2 shifted
+    elementwise passes over the full K/V maps (which stream ~win^2 x the
+    map per layer), the grid is cut into T x T query tiles; each tile does
+    ONE dense [T^2, (T+2m)^2] QK^T / PV matmul against its halo'd key
+    patch. Halo patches come from `conv_general_dilated_patches` (a single
+    strided copy), window validity is a static separable mask, and the
+    learned per-query relative bias is scattered into halo space with 2T
+    static pads. ~10x less HBM traffic than the shift formulation at VOS
+    sizes.
+    """
+    h2d, w2d = size_2d
+    b, hw, chd = q.shape
+    dh = chd // num_heads
+    dv = v.shape[-1] // num_heads
+    full_win = 2 * max_dis + 1
+    m = min(max_dis, h2d - 1, w2d - 1)
+    win = 2 * m + 1
+    if m != max_dis:
+        r = rel_emb.reshape(b, hw, num_heads, full_win, full_win)
+        lo, hi = max_dis - m, max_dis + m + 1
+        rel_emb = r[..., lo:hi, lo:hi].reshape(b, hw, num_heads * win * win)
+    scale = scale if scale is not None else dh ** -0.5
+
+    T = tile or max(2 * m + 2, 8)
+    ty, tx = -(-h2d // T), -(-w2d // T)
+    hp, wp = ty * T - h2d, tx * T - w2d
+    halo = T + 2 * m
+
+    def halo_patches(x, heads, d):
+        """[bx,hw,heads*d] -> [bx, ty*tx, halo*halo, heads, d]
+
+        Overlapping halo tiles assembled from 3x3 static slices of a
+        tile-padded reshape (conv_general_dilated_patches lowers to a
+        catastrophically slow kernel for large windows on TPU)."""
+        bx = x.shape[0]
+        c = heads * d
+        x4 = x.reshape(bx, h2d, w2d, c)
+        # pad a full tile of zeros on every side so each tile's -1/+1
+        # neighbors exist, plus alignment padding on the far edges
+        x4 = jnp.pad(x4, ((0, 0), (T, T + hp), (T, T + wp), (0, 0)))
+        t6 = x4.reshape(bx, ty + 2, T, tx + 2, T, c)
+        rows = jnp.concatenate([
+            t6[:, 0:ty, T - m:], t6[:, 1:ty + 1], t6[:, 2:ty + 2, :m],
+        ], axis=2)                                  # [bx,ty,halo,tx+2,T,c]
+        cols = jnp.concatenate([
+            rows[:, :, :, 0:tx, T - m:], rows[:, :, :, 1:tx + 1],
+            rows[:, :, :, 2:tx + 2, :m],
+        ], axis=4)                                  # [bx,ty,halo,tx,halo,c]
+        p = cols.transpose(0, 1, 3, 2, 4, 5).reshape(
+            bx, ty * tx, halo * halo, c)
+        return p.reshape(bx, ty * tx, halo * halo, heads, d)
+
+    kt = halo_patches(k, num_heads, dh)
+    vt = halo_patches(v, num_heads, dv)
+    ones = jnp.ones((1, h2d * w2d, 1), jnp.float32)
+    valid = halo_patches(ones, 1, 1)[..., 0, 0]     # [1, nT, halo^2]
+
+    q4 = q.reshape(b, h2d, w2d, num_heads, dh)
+    q4 = jnp.pad(q4, ((0, 0), (0, hp), (0, wp), (0, 0), (0, 0)))
+    qt = q4.reshape(b, ty, T, tx, T, num_heads, dh)
+    qt = qt.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+        b, ty * tx, T * T, num_heads, dh)
+
+    logits = jnp.einsum("bnqhd,bnkhd->bnhqk", qt, kt,
+                        preferred_element_type=jnp.float32) * scale
+
+    # static separable window mask: query in-tile (i,j) sees halo (a,b)
+    # iff a-i and b-j fall in [0, 2m] (i.e. |dy|,|dx| <= m)
+    ax_q = np.arange(T)
+    ax_k = np.arange(halo)
+    ax_ok = (ax_k[None, :] - ax_q[:, None] >= 0) & \
+            (ax_k[None, :] - ax_q[:, None] <= 2 * m)      # [T, halo]
+    mask2d = (ax_ok[:, None, :, None] & ax_ok[None, :, None, :]).reshape(
+        T * T, halo * halo)
+    ok = jnp.asarray(mask2d)[None, None, None] & (valid[:, :, None, None]
+                                                  > 0.5)
+    logits = jnp.where(ok, logits, NEG_INF)
+
+    # scatter the per-query [win, win] bias into halo space: row i of a
+    # tile occupies halo rows [i, i+2m] -> a (i, T-1-i) pad; separable in x
+    r = rel_emb.reshape(b, h2d, w2d, num_heads, win, win).astype(jnp.float32)
+    r = jnp.pad(r, ((0, 0), (0, hp), (0, wp), (0, 0), (0, 0), (0, 0)))
+    r = r.reshape(b, ty, T, tx, T, num_heads, win, win)
+    r = jnp.stack([jnp.pad(r[:, :, i],
+                           ((0, 0),) * 5 + ((i, T - 1 - i), (0, 0)))
+                   for i in range(T)], axis=2)            # win_y -> halo_y
+    r = jnp.stack([jnp.pad(r[:, :, :, :, j],
+                           ((0, 0),) * 6 + ((j, T - 1 - j),))
+                   for j in range(T)], axis=4)            # win_x -> halo_x
+    r = r.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        b, ty * tx, num_heads, T * T, halo * halo)
+    logits = logits + r
+
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bnhqk,bnkhd->bnqhd", probs, vt)
+    out = out.reshape(b, ty, tx, T, T, num_heads * dv)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, ty * T, tx * T, num_heads * dv)
+    return out[:, :h2d, :w2d].reshape(b, hw, num_heads * dv)
+
+
 def bank_attention_dispatch(q, bank_k, bank_v, slot_mask, num_heads: int,
                             need_record: bool = False,
                             scale: Optional[float] = None,

@@ -148,3 +148,26 @@ def test_windowed_matches_dense_local_attention(heads):
                                    (h2d, w2d), heads, max_dis)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("heads,h2d,w2d,max_dis", [
+    (1, 7, 9, 2), (2, 9, 13, 2), (1, 16, 16, 2), (1, 11, 23, 3),
+])
+def test_tiled_matches_dense_local_attention(heads, h2d, w2d, max_dis):
+    from rmem_tpu.ops.attention import tiled_local_attention
+    rng = np.random.RandomState(4)
+    hw = h2d * w2d
+    win2 = (2 * max_dis + 1) ** 2
+    d, dv, b = 8, 6, 2
+    q = rng.randn(b, hw, heads * d).astype(np.float32)
+    k = rng.randn(b, hw, heads * d).astype(np.float32)
+    v = rng.randn(b, hw, heads * dv).astype(np.float32)
+    rel = rng.randn(b, hw, heads * win2).astype(np.float32)
+    ref, _ = dense_local_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), jnp.asarray(rel),
+                                   (h2d, w2d), heads, max_dis)
+    got = tiled_local_attention(jnp.asarray(q), jnp.asarray(k),
+                                jnp.asarray(v), jnp.asarray(rel),
+                                (h2d, w2d), heads, max_dis)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
