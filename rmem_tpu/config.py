@@ -176,6 +176,13 @@ class Config:
         return self.model_max_obj_num + (2 if self.model_ignore_token else 1)
 
     @property
+    def gru_memory_active(self) -> bool:
+        """GRU-compressed memory only exists on the AOT/LSTT path: the
+        reference's DualBranchGPM hard-codes gru_memory=False
+        (transformer.py:728), so DeAOT silently ignores the flag."""
+        return self.gru_memory and self.model_vos == "aot"
+
+    @property
     def dir_result(self) -> str:
         return os.path.join(self.dir_root, f"{self.exp_name}_{self.model_name}",
                             self.stage_name)
@@ -335,4 +342,7 @@ def get_config(stage: str = "default", exp_name: str = "default",
     if kw.get("no_memory_gap"):
         kw["model_att_heads"] = 2
         kw["train_long_term_mem_gap"] = 1
+        # REVERSE_LOSS = REVERSE_LOSS / 4 under NO_MEMORY_GAP
+        # (r50_aotl.py:26-27, r50_deaotl.py:26-27)
+        kw["reverse_loss"] = kw.get("reverse_loss", 0.4) / 4
     return Config(**kw)

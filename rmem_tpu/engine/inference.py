@@ -167,7 +167,7 @@ class InferenceEngine:
 
         logits = self._decode(params, intermediates, xs, obj_nums)
         ghk = ghv = None
-        if cfg.gru_memory:
+        if cfg.gru_memory_active:
             # ConvGRU hidden states, zero-init (transformer.py:444-453)
             ghk = jnp.zeros((lk.shape[0], b, eh, ew, lk.shape[-1]), lk.dtype)
             ghv = jnp.zeros((lv.shape[0], b, eh, ew, lv.shape[-1]), lv.dtype)
@@ -231,7 +231,7 @@ class InferenceEngine:
             record, fg = state.record, (1.0 - prob[..., 0]).reshape(b_, hw)
 
         ghk, ghv = state.gru_hid_k, state.gru_hid_v
-        if cfg.gru_memory:
+        if cfg.gru_memory_active:
             eh, ew = self._enc_hw(state)
 
             def compress_fn(ks, vs, hk, hv):

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from rmem_tpu.config import Config
 from rmem_tpu.memory import (bank_append, evict_if_full, init_bank,
                              valid_slot_mask)
+from rmem_tpu.memory.eviction import evict_if_full_gru
 from rmem_tpu.ops.losses import segmentation_loss
 from rmem_tpu.ops.masks import (apply_ignore_token, mask_unused_ids,
                                 one_hot_mask, unshuffle_logits)
@@ -147,9 +148,24 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
         _, loss = decode(inter, xs0, labels[:, 0])
         return cfg.reverse_loss * loss
 
+    # GRU_MEMORY: ConvGRU hidden states carried through the scan so the
+    # compression cells receive gradients at train time too — the reference's
+    # restrict_long_memories runs GRU compression into slot 1 during training
+    # as well (transformer.py:420-430; train drop index = former+1).
+    if cfg.gru_memory_active:
+        ghk0 = jnp.zeros((lk.shape[0], b, eh, ew, lk.shape[-1]), lk.dtype)
+        ghv0 = jnp.zeros((lv.shape[0], b, eh, ew, lv.shape[-1]), lv.dtype)
+
+        def compress_fn(ks, vs, hk, hv):
+            return model.apply(
+                {"params": params}, ks, vs, hk, hv, (eh, ew),
+                method=lambda m, *a: m.lstt.compress_evicted(*a))
+    else:
+        ghk0 = ghv0 = jnp.zeros((), jnp.float32)
+
     # 3. frame scan (aot_engine.py:84-106)
     def frame_body(carry, data):
-        bank, short, first_short, last_mem_step = carry
+        bank, short, first_short, last_mem_step, ghk, ghv = carry
         xs_f, label_f, onehot_f, ignore_f, fidx = data
         feat = xs_f[-1].reshape(b, hw, c)
         slot_pe = None
@@ -178,8 +194,16 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
         if cfg.no_long_memory:
             do_long = jnp.asarray(False)
         appended = bank_append(bank, lk, lv, liv_)
-        evicted = evict_if_full(appended, cfg.former_mem_len,
-                                cfg.latter_mem_len, use_attn_weight=False)
+        if cfg.gru_memory_active:
+            evicted, nhk, nhv = evict_if_full_gru(
+                appended, cfg.former_mem_len, cfg.latter_mem_len,
+                compress_fn, ghk, ghv, use_attn_weight=False)
+            new_ghk = jnp.where(do_long, nhk, ghk)
+            new_ghv = jnp.where(do_long, nhv, ghv)
+        else:
+            evicted = evict_if_full(appended, cfg.former_mem_len,
+                                    cfg.latter_mem_len, use_attn_weight=False)
+            new_ghk, new_ghv = ghk, ghv
         new_bank = jax.tree_util.tree_map(
             lambda a_, b_: jnp.where(do_long, a_, b_), evicted, bank)
         new_short = (sk, sv, siv_) if has_id else (sk, sv)
@@ -191,7 +215,8 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
             rloss = reverse_loss_fn(new_bank, new_first)
             loss = loss + jnp.where(do_long, rloss, 0.0)
         new_last = jnp.where(do_long, fidx, last_mem_step)
-        return (new_bank, new_short, new_first, new_last), loss
+        return (new_bank, new_short, new_first, new_last,
+                new_ghk, new_ghv), loss
 
     short0 = (sk, sv, siv) if has_id else (sk, sv)
     xs_scan = tuple(jnp.swapaxes(x[:, 1:], 0, 1) for x in xs_bt)
@@ -201,7 +226,7 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
                  jnp.swapaxes(ignores[:, 1:], 0, 1),
                  jnp.arange(1, t, dtype=jnp.int32))
     carry0 = (bank, short0, jax.tree_util.tree_map(jnp.zeros_like, short0),
-              jnp.zeros((), jnp.int32))
+              jnp.zeros((), jnp.int32), ghk0, ghv0)
 
     body = jax.checkpoint(frame_body) if t > 2 else frame_body
     _, losses = jax.lax.scan(body, carry0, scan_data)  # losses [T-1, B]

@@ -44,7 +44,10 @@ def db_statistics(per_frame_values: np.ndarray):
     n_bins = 4
     ids = np.round(np.linspace(1, len(per_frame_values), n_bins + 1)
                    + 1e-10) - 1
-    ids = ids.astype(np.uint8)
+    # Intentional deviation from the reference (source/utils.py:146), which
+    # casts to uint8 and silently wraps for sequences longer than 255 frames
+    # (VOST sequences can exceed that), corrupting the decay statistic.
+    ids = ids.astype(int)
     d_bins = [per_frame_values[ids[i]: ids[i + 1] + 1] for i in range(4)]
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", category=RuntimeWarning)

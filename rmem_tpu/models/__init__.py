@@ -32,7 +32,7 @@ def init_forward(model, img, id_one_hot):
     inter, mems, _ = model.lstt_forward(feat, None, None, None, id_emb,
                                         self_pos, cur_pe, mem_pe1, (eh, ew))
     model.write_memories(mems, id_emb)
-    if model.cfg.gru_memory:
+    if model.cfg.gru_memory_active:
         # trace the ConvGRU compression path so its params initialize
         ks = mems["curr_k"]
         hid = jnp.zeros((ks.shape[0], b, eh, ew, ks.shape[-1]), ks.dtype)

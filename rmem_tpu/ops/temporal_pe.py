@@ -23,25 +23,23 @@ def interpolate_temporal_pe(mem_pos_emb: jnp.ndarray, t: jnp.ndarray,
     Returns [S, C]; rows >= t are unspecified (callers mask invalid slots).
 
     Exact torch semantics reproduced:
-    - t == 1: PE[0] (transformer.py:603-604); the linear formula degrades to
-      this because pos = 0.
-    - 2 <= t <= P: `F.interpolate(mode='linear', align_corners=True)` from P
-      to t: pos_i = i * (P-1) / (t-1) (transformer.py:607-608).
-    - t > P: flip, `mode='nearest'` expand P -> t, flip back: the source index
-      for output i is P-1 - floor((t-1-i) * P / t) (transformer.py:611-615).
+    - t == 1: PE[0] (transformer.py:603-604).
+    - 2 <= t <= P: the reference first truncates the table to its first t
+      rows (`mem_pos_emb = mem_pos_emb[:T]`, transformer.py:601-602), so the
+      subsequent `F.interpolate(mode='linear', align_corners=True)` to size t
+      is a t -> t identity: row i is used directly (transformer.py:605-608).
+    - t > P: no truncation happens (t exceeds the table); the linear P -> P
+      interpolation is an identity, then flip, `mode='nearest'` expand
+      P -> t, flip back: the source index for output i is
+      P-1 - floor((t-1-i) * P / t) (transformer.py:609-615).
     """
     P, C = mem_pos_emb.shape
     s = jnp.arange(capacity, dtype=jnp.float32)
     t_f = jnp.asarray(t, jnp.float32)
 
-    # linear align_corners branch (valid when t <= P)
-    denom = jnp.maximum(t_f - 1.0, 1.0)
-    pos = s * (P - 1) / denom
-    lo = jnp.clip(jnp.floor(pos), 0, P - 1).astype(jnp.int32)
-    hi = jnp.minimum(lo + 1, P - 1)
-    w = (pos - lo.astype(jnp.float32)).astype(mem_pos_emb.dtype)
-    linear_pe = (mem_pos_emb[lo] * (1.0 - w)[:, None]
-                 + mem_pos_emb[hi] * w[:, None])
+    # t <= P branch: truncate-then-identity-interpolate == direct row i
+    lo = jnp.minimum(s.astype(jnp.int32), P - 1)
+    linear_pe = mem_pos_emb[lo]
 
     # flip-nearest branch (t > P)
     src = (P - 1) - jnp.floor((t_f - 1.0 - s) * P / jnp.maximum(t_f, 1.0))

@@ -39,10 +39,13 @@ def _torch_temporal_pe(mem_pos_emb: np.ndarray, T: int) -> np.ndarray:
     """Reference semantics (transformer.py:594-629), independent re-impl."""
     P, C = mem_pos_emb.shape
     pe = torch.from_numpy(mem_pos_emb)
+    if T <= P:
+        pe = pe[:T]  # reference truncates BEFORE interpolating (transformer.py:601-602)
     if T == 1:
         return mem_pos_emb[0:1]
     x = pe.permute(1, 0).view(1, C, -1)
     if T <= P:
+        # T -> T linear interpolation is an identity
         x = F.interpolate(x, size=T, mode="linear", align_corners=True)
     else:
         x = F.interpolate(x, size=P, mode="linear", align_corners=True)

@@ -78,6 +78,33 @@ def test_parallel_train_step_multidev():
     assert int(state.step) == 1
 
 
+def test_train_forward_gru_memory_gets_gradients():
+    """With GRU_MEMORY the training scan must run ConvGRU compression (the
+    reference's restrict_long_memories compresses at train time too,
+    transformer.py:420-430) so the GRU cells receive gradients."""
+    cfg = get_config("test", model="tiny_aotl", train_total_steps=100,
+                     gru_memory=True, former_mem_len=1, latter_mem_len=1,
+                     train_long_term_mem_gap=1)
+    model = build_vos_model(cfg.model_vos, cfg)
+    params = init_params(model, jax.random.PRNGKey(0), HW)
+    batch = _batch(1, 5)
+
+    def loss_fn(p):
+        loss, _ = train_forward(
+            model, p, batch["imgs"], batch["labels"], batch["obj_nums"],
+            jnp.float32(0), None, jnp.asarray(False), cfg)
+        return loss
+
+    grads = jax.grad(loss_fn)(params)
+    import flax.traverse_util as trav
+    flat = {"/".join(k): v for k, v in trav.flatten_dict(grads).items()}
+    gru_keys = [k for k in flat if "memory_gru" in k]
+    assert gru_keys, "no ConvGRU params found"
+    total = sum(float(jnp.sum(jnp.abs(flat[k]))) for k in gru_keys)
+    assert np.isfinite(total) and total > 0.0, \
+        f"ConvGRU grads are zero: {gru_keys}"
+
+
 def test_optimizer_group_labels():
     from rmem_tpu.engine.train_state import _tree_labels
     cfg = get_config("pre_vost", model="r50_aotl")
