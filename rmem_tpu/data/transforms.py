@@ -62,10 +62,16 @@ def resize_image(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
 
 
 def resize_label(label: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """Nearest resize with torch `F.interpolate(mode='nearest')` index
+    semantics (src = floor(dst * in/out)) — the reference resizes masks with
+    torch, not cv2, and the two round differently
+    (managers/evaluator.py:386-397,509-523)."""
     if label.shape[:2] == tuple(hw):
         return label
-    return cv2.resize(label, dsize=(hw[1], hw[0]),
-                      interpolation=cv2.INTER_NEAREST)
+    h_in, w_in = label.shape[:2]
+    rows = (np.arange(hw[0]) * h_in // hw[0]).astype(np.int64)
+    cols = (np.arange(hw[1]) * w_in // hw[1]).astype(np.int64)
+    return label[rows][:, cols]
 
 
 def normalize_image(img: np.ndarray) -> np.ndarray:

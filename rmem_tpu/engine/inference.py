@@ -292,6 +292,49 @@ class InferenceEngine:
         """Fused propagate+update; returns (state, merged label at out_hw)."""
         return self._step(self.params, state, img, out_hw=out_hw)
 
+    # -- fused multi-aug step ---------------------------------------------
+    def _multi_step_impl(self, params, states, imgs, out_hw, flips):
+        """ALL (scale, flip) augs in ONE dispatch (the reference loops augs
+        on the host, evaluator.py:351-441): propagate each aug, upsample to
+        the original size, unflip, mean the softmaxes, argmax; then per aug
+        re-flip + nearest-resize the label to that aug's input size and
+        update its memory (evaluator.py:509-523)."""
+        from rmem_tpu.ops.resize import resize_nearest
+
+        new_states = []
+        agg = []
+        for st, img, flip in zip(states, imgs, flips):
+            st, logits4 = self._propagate_impl(params, st, img)
+            logits = resize_bilinear(logits4, out_hw,
+                                     self.cfg.model_align_corners)
+            merged = soft_logit_aggregation(logits,
+                                            self.cfg.model_max_obj_num)
+            if flip:
+                merged = merged[:, ::-1]
+            agg.append(jax.nn.softmax(merged.astype(jnp.float32), axis=-1))
+            new_states.append(st)
+        mean_prob = jnp.mean(jnp.stack(agg), axis=0)
+        label_full = jnp.argmax(mean_prob, axis=-1).astype(jnp.int32)
+
+        out_states = []
+        for st, img, flip in zip(new_states, imgs, flips):
+            lab = label_full[:, ::-1] if flip else label_full
+            lab_in = resize_nearest(lab[None, ..., None],
+                                    img.shape[1:3])[0, ..., 0]
+            glabels = separate_mask(lab_in[None], img.shape[0],
+                                    self.cfg.model_max_obj_num)
+            out_states.append(self._update_impl(params, st, glabels))
+        return tuple(out_states), label_full
+
+    def step_multi(self, states, imgs, out_hw: Tuple[int, int], flips):
+        """states/imgs: per-aug tuples; flips: static tuple of bools."""
+        if not hasattr(self, "_multi_step"):
+            self._multi_step = jax.jit(
+                self._multi_step_impl, donate_argnums=(1,),
+                static_argnames=("out_hw", "flips"))
+        return self._multi_step(self.params, tuple(states), tuple(imgs),
+                                out_hw=out_hw, flips=tuple(flips))
+
     # -- chunked frame scan ---------------------------------------------
     def _scan_impl(self, params, state: EngineState, imgs, out_hw):
         """lax.scan of the fused step over a chunk of frames: ONE dispatch

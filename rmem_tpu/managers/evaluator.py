@@ -91,7 +91,10 @@ class Evaluator:
         hw = restrict_size(h, w, self.cfg.test_max_size,
                            self.cfg.test_min_size, aug.scale,
                            self.cfg.model_align_corners)
-        img = resize_image(image.astype(np.uint8), hw)
+        # resize the FLOAT image: the reference cubic-resizes float32 pixels
+        # before normalizing (video_transforms.py:635-639,676-680); resizing
+        # uint8 would round + clip the cubic overshoot
+        img = resize_image(np.asarray(image, np.float32), hw)
         img = normalize_image(img)
         if aug.flip:
             img = img[:, ::-1].copy()
@@ -166,9 +169,14 @@ class Evaluator:
         if cfg.no_memory_gap:
             gap = int(round(gap / 4))
 
-        # fast path: single aug, no mid-video GT -> fused one-dispatch steps
-        # with deferred label downloads (the whole video pipelines on device)
-        if len(self.augs) == 1 and len(seq.labels) <= 1:
+        # fast path: no mid-video GT -> fused one-dispatch-per-frame steps
+        # with deferred label downloads; covers single AND multi-aug (the
+        # reference loops augs on the host, evaluator.py:351-441). The probe
+        # harness records aug-0 pre-aggregation logits, which the multi-aug
+        # fused graph doesn't emit -> slow path in that combination.
+        if (len(seq.labels) <= 1
+                and not (self.probe and len(self.augs) > 1)
+                and not getattr(self, "force_slow", False)):
             return self._eval_sequence_fused(seq, gap, max_frames)
 
         states = [None] * len(self.augs)
@@ -219,9 +227,10 @@ class Evaluator:
             pred_label_dev = jnp.argmax(mean_prob, axis=-1).astype(jnp.int32)
             pred_label = np.asarray(pred_label_dev, np.uint8)
 
-            # mid-video new objects (evaluator.py:484-508)
-            new_objs = (frame.label is not None
-                        and frame.obj_num > int(pred_label.max()))
+            # mid-video new objects: ANY labeled frame after 0 triggers a
+            # merge + re-reference of all engines (evaluator.py:425-432,
+            # 485-508), regardless of predicted ids
+            new_objs = frame.label is not None
             if frame.label is not None:
                 keep = frame.label == 0
                 merged_label = np.where(keep, pred_label, frame.label)
@@ -263,39 +272,42 @@ class Evaluator:
     def _eval_sequence_fused(self, seq, gap: int,
                              max_frames: Optional[int] = None
                              ) -> SequenceResult:
-        """One fused jit dispatch per frame; labels stream back
-        asynchronously and PNGs are written at the end of the sequence."""
+        """One fused jit dispatch per frame (all augs inside the dispatch);
+        labels stream back asynchronously and PNGs are written at the end of
+        the sequence."""
         cfg = self.cfg
-        state = None
+        states = None
         groups = 1
         pending = []  # (frame_name, ori_hw, device label)
         seconds = 0.0
         n_processed = 0
         obj_idx = None
-        for frame_idx, frame in enumerate(seq):
-            if max_frames is not None and frame_idx >= max_frames:
-                break
+        flips = tuple(a.flip for a in self.augs)
+        for frame_idx, frame, imgs in self._prefetch(seq, max_frames):
             n_processed += 1
             ori_h, ori_w = frame.image.shape[:2]
-            img = self._prep_frame(frame.image, self.augs[0])
             obj_idx = frame.obj_idx
             if frame_idx == 0:
                 groups = max(int(np.ceil(frame.obj_num
                                          / cfg.model_max_obj_num)), 1)
-                hw = img.shape[1:3]
-                lab = self._prep_label(frame.label, hw, False)
-                glabels = separate_mask(jnp.asarray(lab[None]), groups,
-                                        cfg.model_max_obj_num)
-                state, _ = self.engine.add_reference(
-                    img, glabels, self._group_obj_nums(frame.obj_num,
-                                                       groups),
-                    frame_step=0, gap=gap)
+                states = []
+                for ai, aug in enumerate(self.augs):
+                    hw = imgs[ai].shape[1:3]
+                    lab = self._prep_label(frame.label, hw, aug.flip)
+                    glabels = separate_mask(jnp.asarray(lab[None]), groups,
+                                            cfg.model_max_obj_num)
+                    st, _ = self.engine.add_reference(
+                        imgs[ai], glabels,
+                        self._group_obj_nums(frame.obj_num, groups),
+                        frame_step=0, gap=gap)
+                    states.append(st)
                 self._save(np.asarray(frame.label, np.uint8), seq.name,
                            frame.name, ori_h, ori_w, obj_idx)
                 continue
             t0 = time.perf_counter()
             if self.probe:
-                state, logits4 = self.engine.propagate(state, img)
+                states[0], logits4 = self.engine.propagate(states[0],
+                                                           imgs[0])
                 logits = self.engine.predict_logits_at(logits4,
                                                        (ori_h, ori_w))
                 py, px = min(100, ori_h - 1), min(100, ori_w - 1)
@@ -305,13 +317,18 @@ class Evaluator:
                                                 cfg.model_max_obj_num)
                 label = jnp.argmax(merged, -1).astype(jnp.int32)
                 lab_in = self._prep_label(np.asarray(label, np.uint8),
-                                          img.shape[1:3], False)
-                state = self.engine.update_memory(
-                    state, separate_mask(jnp.asarray(lab_in[None]),
-                                         state.short_k.shape[1],
-                                         cfg.model_max_obj_num))
+                                          imgs[0].shape[1:3], False)
+                states[0] = self.engine.update_memory(
+                    states[0], separate_mask(jnp.asarray(lab_in[None]),
+                                             states[0].short_k.shape[1],
+                                             cfg.model_max_obj_num))
+            elif len(self.augs) == 1:
+                states[0], label = self.engine.step(states[0], imgs[0],
+                                                    (ori_h, ori_w))
             else:
-                state, label = self.engine.step(state, img, (ori_h, ori_w))
+                states, label = self.engine.step_multi(
+                    states, imgs, (ori_h, ori_w), flips)
+                states = list(states)
             pending.append((frame.name, (ori_h, ori_w), label))
             seconds += time.perf_counter() - t0
         if pending:
@@ -324,12 +341,13 @@ class Evaluator:
         return SequenceResult(seq.name, n_processed, seconds)
 
     def _group_obj_nums(self, obj_num: int, groups: int) -> List[int]:
-        out = []
-        rest = obj_num
-        for _ in range(groups):
-            out.append(min(rest, self.cfg.model_max_obj_num))
-            rest -= out[-1]
-        return out
+        """Reference inference semantics: every sub-engine is told it has the
+        full MODEL_MAX_OBJ_NUM objects (aot_engine.py:686-699), so unused id
+        channels are NOT masked at eval — 'ghost' identities participate in
+        the argmax and are fed back into memory. Matching this is required
+        for parity with the released checkpoints' scores."""
+        del obj_num
+        return [self.cfg.model_max_obj_num] * groups
 
     def _save(self, label: np.ndarray, seq_name: str, frame_name: str,
               h: int, w: int, obj_idx):

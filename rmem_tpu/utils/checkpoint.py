@@ -431,8 +431,13 @@ def convert_torch_checkpoint(sd: Dict[str, np.ndarray], model_vos: str,
     n_norms = len([k for k in sd if k.startswith("LSTT.decoder_norms.")
                    and k.endswith(".weight")])
     for i in range(n_norms):
-        _put_norm(sd, out, f"LSTT.decoder_norms.{i}",
-                  ("lstt", f"decoder_norm{i}"))
+        t = f"LSTT.decoder_norms.{i}"
+        if f"{t}.gn.weight" in sd:
+            # DeAOT: GroupNorm1D wraps an nn.GroupNorm under `.gn`
+            # (basic.py:6-12; transformer.py:755-758)
+            _put_norm(sd, out, f"{t}.gn", ("lstt", f"decoder_norm{i}"))
+        else:
+            _put_norm(sd, out, t, ("lstt", f"decoder_norm{i}"))
     _convert_fpn(sd, out)
     if model_vos == "deaot":
         _put_norm(sd, out, "id_norm", ("id_norm",))

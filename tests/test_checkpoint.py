@@ -35,6 +35,10 @@ def _fabricate_torch_sd(flat_params, model_vos):
             return f"encoder.{p[1]}"
         if p[0] == "lstt":
             if p[1].startswith("decoder_norm"):
+                if model_vos == "deaot":
+                    # GPM wraps GroupNorm in GroupNorm1D -> `.gn.` keys
+                    # (basic.py:6-12; transformer.py:755-758)
+                    return f"LSTT.decoder_norms.{p[1][-1]}.gn"
                 return f"LSTT.decoder_norms.{p[1][-1]}"
             i = p[1][-1]
             rest = p[2:-1] + [p[-1]] if False else p[2:]

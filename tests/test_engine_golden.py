@@ -59,8 +59,11 @@ class TTinyEncoder(nn.Module):
 
 
 def _torch_slot_pe(mem_pe: torch.Tensor, t: int) -> torch.Tensor:
-    """transformer.py:594-629 semantics."""
+    """transformer.py:594-629 semantics (incl. the [:T] truncation BEFORE
+    interpolating, transformer.py:601-602, so t<=P uses rows 0..t-1)."""
     P, C = mem_pe.shape
+    if t <= P:
+        mem_pe = mem_pe[:t]
     if t == 1:
         return mem_pe[0:1]
     x = mem_pe.permute(1, 0).view(1, C, -1)

@@ -63,6 +63,85 @@ def test_offline_scorer_perfect_and_degraded(tmp_path):
     assert g2["J"] == pytest.approx(50.0)  # obj1 J=0, obj2 J=1
 
 
+def _load_reference_metrics():
+    """Import /root/reference/evaluation/source/metrics.py directly, with a
+    fake skimage (not installed) providing morphology.disk."""
+    import importlib.util
+    import sys
+    import types
+
+    if "skimage" not in sys.modules:
+        from rmem_tpu.evaluation.metrics import _disk
+        sk = types.ModuleType("skimage")
+        mo = types.ModuleType("skimage.morphology")
+        mo.disk = lambda r: _disk(r)
+        sk.morphology = mo
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.morphology"] = mo
+    spec = importlib.util.spec_from_file_location(
+        "_ref_metrics", "/root/reference/evaluation/source/metrics.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("case", ["perfect", "shifted", "degraded",
+                                  "empty_pred", "empty_gt", "both_empty"])
+def test_boundary_f_matches_reference(case):
+    """db_eval_boundary / f_measure vs the reference implementations run
+    directly (VERDICT #3: compare numerically, don't copy)."""
+    ref = _load_reference_metrics()
+    from rmem_tpu.evaluation.metrics import db_eval_boundary
+
+    rng = np.random.RandomState(11)
+    h, w = 120, 160
+    gt = np.zeros((3, h, w), bool)
+    gt[:, 30:70, 40:100] = True
+    gt[1, 80:100, 10:50] = True
+    if case == "perfect":
+        pred = gt.copy()
+    elif case == "shifted":
+        pred = np.roll(gt, 2, axis=2)
+    elif case == "degraded":
+        pred = gt & (rng.rand(3, h, w) > 0.3)
+    elif case == "empty_pred":
+        pred = np.zeros_like(gt)
+    elif case == "empty_gt":
+        pred, gt = gt, np.zeros_like(gt)
+    else:
+        gt = np.zeros_like(gt)
+        pred = np.zeros_like(gt)
+
+    want = ref.db_eval_boundary(gt, pred)
+    got = db_eval_boundary(gt, pred)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+    # void-pixel path too
+    void = np.zeros_like(gt)
+    void[:, 30:40] = True
+    np.testing.assert_allclose(
+        db_eval_boundary(gt, pred, void),
+        ref.db_eval_boundary(gt, pred, void), atol=1e-12)
+
+
+def test_offline_scorer_jf(tmp_path):
+    """J&F summary: perfect predictions give J=F=J&F=100."""
+    root = str(tmp_path / "ds")
+    _make_gt(root)
+    res = str(tmp_path / "res")
+    for s in ("a", "b"):
+        for i in range(4):
+            gt = np.asarray(Image.open(os.path.join(
+                root, "Annotations", s, f"{i:05d}.png")), np.uint8)
+            _write_mask(os.path.join(res, s, f"{i:05d}.png"),
+                        np.where(gt == 255, 0, gt))
+    ev = Evaluation(root, "val")
+    g = summarize(ev.evaluate(res, metric=("J", "J_last", "F")))
+    assert g["J"] == pytest.approx(100.0)
+    assert g["F"] == pytest.approx(100.0)
+    assert g["J&F"] == pytest.approx(100.0)
+
+
 def test_evaluator_synthetic_multiscale_flip(tmp_path):
     cfg = get_config("test", model="tiny_deaotl",
                      test_dataset="test", test_ckpt_path="test",
@@ -77,6 +156,35 @@ def test_evaluator_synthetic_multiscale_flip(tmp_path):
     arr = np.asarray(Image.open(os.path.join(out, "test0", "00001.png")))
     assert arr.shape == (240, 432)
     assert set(np.unique(arr)) <= {0, 1, 2}
+
+
+def test_evaluator_multiaug_fused_matches_slow(tmp_path):
+    """The fused one-dispatch-per-frame multi-aug path must reproduce the
+    host-looped aug path (same math, different dispatch; XLA fusion may
+    reassociate floats, so allow isolated argmax-tie pixel flips)."""
+    import jax
+    from rmem_tpu.models import build_vos_model, init_params
+
+    cfg = get_config("test", model="tiny_deaotl", test_dataset="test",
+                     test_ckpt_path="test", test_flip=True,
+                     test_multiscale=(1.0, 1.2), compute_dtype="float32")
+    model = build_vos_model(cfg.model_vos, cfg)
+    params = init_params(model, jax.random.PRNGKey(3))
+
+    outs = []
+    for mode in ("fused", "slow"):
+        ev = Evaluator(cfg, params=params,
+                       output_root=str(tmp_path / mode), log=lambda *a: None)
+        assert len(ev.augs) == 4
+        if mode == "slow":
+            ev.force_slow = True
+        ev.evaluate(max_seqs=1, max_frames=4)
+        outs.append([np.asarray(Image.open(
+            os.path.join(str(tmp_path / mode), "test0", f"{i:05d}.png")))
+            for i in range(4)])
+    for a, b in zip(*outs):
+        mismatch = float((a != b).mean())
+        assert mismatch <= 1e-4, f"mask mismatch fraction {mismatch}"
 
 
 def test_evaluator_deterministic_probes(tmp_path):
