@@ -25,7 +25,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image
 
-from rmem_tpu.evaluation.metrics import db_eval_iou, db_statistics
+from rmem_tpu.evaluation.metrics import (db_eval_boundary, db_eval_iou,
+                                         db_statistics)
 
 
 class Evaluation:
@@ -69,7 +70,8 @@ class Evaluation:
                           for f in frames])
         return np.stack([(stack == i) for i in range(1, num_objects + 1)])
 
-    def _evaluate_sequence(self, seq: str, res_path: str):
+    def _evaluate_sequence(self, seq: str, res_path: str,
+                           metric: Sequence[str]):
         gt, void, masks_id = self._get_all_masks(seq)
         # drop first & last annotated frames (evaluation.py:84)
         gt, masks_id = gt[:, 1:-1], masks_id[1:-1]
@@ -78,20 +80,31 @@ class Evaluation:
         res = self._read_results(res_path, seq, masks_id, gt.shape[0])
         out = {}
         for ii in range(gt.shape[0]):
-            j = db_eval_iou(gt[ii], res[ii], None)
-            out[f"{seq}_{ii + 1}"] = (j, j[last_quarter:])
+            vals = {}
+            if "J" in metric or "J_last" in metric:
+                j = db_eval_iou(gt[ii], res[ii], None)
+                if "J" in metric:
+                    vals["J"] = j
+                if "J_last" in metric:
+                    vals["J_last"] = j[last_quarter:]
+            if "F" in metric:
+                # boundary F for the Long Videos J&F tables
+                # (source/metrics.py:40-119)
+                vals["F"] = db_eval_boundary(gt[ii], res[ii], None)
+            out[f"{seq}_{ii + 1}"] = vals
         return out
 
-    def evaluate(self, res_path: str, workers: int = 4) -> Dict:
-        metrics = {"J": {"M": [], "R": [], "D": [], "M_per_object": {}},
-                   "J_last": {"M": [], "R": [], "D": [], "M_per_object": {}}}
+    def evaluate(self, res_path: str, workers: int = 4,
+                 metric: Sequence[str] = ("J", "J_last")) -> Dict:
+        metrics = {key: {"M": [], "R": [], "D": [], "M_per_object": {}}
+                   for key in metric}
         with ThreadPoolExecutor(max_workers=workers) as pool:
             results = pool.map(
-                lambda s: self._evaluate_sequence(s, res_path),
+                lambda s: self._evaluate_sequence(s, res_path, metric),
                 self.sequences)
         for per_obj in results:
-            for name, (j, j_last) in per_obj.items():
-                for key, vals in (("J", j), ("J_last", j_last)):
+            for name, vals_by_key in per_obj.items():
+                for key, vals in vals_by_key.items():
                     m, r, d = db_statistics(vals)
                     metrics[key]["M"].append(m)
                     metrics[key]["R"].append(r)
@@ -101,10 +114,18 @@ class Evaluation:
 
 
 def summarize(metrics: Dict) -> Dict[str, float]:
-    """Global means as reported in the README table (J, J_tr)."""
-    return {
-        "J": float(np.mean(metrics["J"]["M"])) * 100.0,
-        "J_tr": float(np.mean(metrics["J_last"]["M"])) * 100.0,
-        "J_recall": float(np.mean(metrics["J"]["R"])) * 100.0,
-        "J_decay": float(np.mean(metrics["J"]["D"])) * 100.0,
-    }
+    """Global means as reported in the README table (J, J_tr) and the
+    Long Videos J&F table (J, F, J&F)."""
+    out = {}
+    if "J" in metrics:
+        out["J"] = float(np.mean(metrics["J"]["M"])) * 100.0
+        out["J_recall"] = float(np.mean(metrics["J"]["R"])) * 100.0
+        out["J_decay"] = float(np.mean(metrics["J"]["D"])) * 100.0
+    if "J_last" in metrics:
+        out["J_tr"] = float(np.mean(metrics["J_last"]["M"])) * 100.0
+    if "F" in metrics:
+        out["F"] = float(np.mean(metrics["F"]["M"])) * 100.0
+        out["F_recall"] = float(np.mean(metrics["F"]["R"])) * 100.0
+        if "J" in metrics:
+            out["J&F"] = (out["J"] + out["F"]) / 2.0
+    return out

@@ -23,6 +23,8 @@ def main():
                    help="dataset root (Annotations/, ImageSets/)")
     p.add_argument("--set", default="val")
     p.add_argument("--re", action="store_true", help="recompute CSVs")
+    p.add_argument("--metrics", nargs="*", default=["J", "J_last"],
+                   help="J, J_last, F (add F for Long Videos J&F)")
     args = p.parse_args()
 
     csv_g = os.path.join(args.results_path, "global_results.csv")
@@ -34,22 +36,29 @@ def main():
         return
 
     ev = Evaluation(args.dataset_path, args.set)
-    metrics = ev.evaluate(args.results_path)
+    metric = tuple(args.metrics)
+    metrics = ev.evaluate(args.results_path, metric=metric)
     g = summarize(metrics)
 
     with open(csv_g, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["J-Mean", "J-Recall", "J-Decay", "J_last-Mean"])
-        w.writerow([g["J"] / 100, g["J_recall"] / 100, g["J_decay"] / 100,
-                    g["J_tr"] / 100])
+        head = ["J-Mean", "J-Recall", "J-Decay"]
+        row = [g["J"] / 100, g["J_recall"] / 100, g["J_decay"] / 100]
+        if "J_last" in metric:
+            head.append("J_last-Mean")
+            row.append(g["J_tr"] / 100)
+        if "F" in metric:
+            head += ["F-Mean", "F-Recall", "J&F-Mean"]
+            row += [g["F"] / 100, g["F_recall"] / 100, g["J&F"] / 100]
+        w.writerow(head)
+        w.writerow(row)
     with open(csv_seq, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["Sequence", "J-Mean", "J_last-Mean"])
-        for name in metrics["J"]["M_per_object"]:
-            w.writerow([name, metrics["J"]["M_per_object"][name],
-                        metrics["J_last"]["M_per_object"][name]])
-    print(f"J: {g['J']:.1f}  J_tr: {g['J_tr']:.1f}  "
-          f"(recall {g['J_recall']:.1f}, decay {g['J_decay']:.1f})")
+        w.writerow(["Sequence"] + [f"{k}-Mean" for k in metric])
+        for name in metrics[metric[0]]["M_per_object"]:
+            w.writerow([name] + [metrics[k]["M_per_object"][name]
+                                 for k in metric])
+    print("  ".join(f"{k}: {v:.1f}" for k, v in g.items()))
     print(f"wrote {csv_g}")
 
 

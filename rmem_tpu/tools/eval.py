@@ -27,6 +27,9 @@ def main():
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--score", action="store_true",
                    help="run offline J/J_tr scoring afterwards")
+    p.add_argument("--metrics", nargs="*", default=["J", "J_last"],
+                   help="offline metrics: J, J_last, F (F gives the Long "
+                        "Videos J&F)")
     p.add_argument("--probe", action="store_true",
                    help="print per-frame logit probes (determinism harness, "
                         "reference --debug_fix_random)")
@@ -70,7 +73,12 @@ def main():
         sub = {"vost": "VOST", "davis2017": "DAVIS",
                "long_videos": "long_videos"}[args.dataset]
         e = Evaluation(os.path.join(root, sub), args.split)
-        print(json.dumps(summarize(e.evaluate(ev.output_root)), indent=2))
+        # Long Videos reports J&F (RMem.pdf Table 2): include F there
+        metric = tuple(args.metrics)
+        if args.dataset == "long_videos" and "F" not in metric:
+            metric = metric + ("F",)
+        print(json.dumps(summarize(e.evaluate(ev.output_root,
+                                              metric=metric)), indent=2))
 
 
 if __name__ == "__main__":
