@@ -122,6 +122,10 @@ class Config:
     train_sgd_momentum: float = 0.9
     train_batch_size: int = 16
     train_log_step: int = 20
+    # overlay-image dumps every N steps, 0 = off (the reference's
+    # TRAIN_TBLOG/TRAIN_TBLOG_STEP, configs/default.py + trainer.py:745-862;
+    # off by default there too)
+    train_tblog_step: int = 0
     train_top_k_percent_pixels: float = 0.15
     train_seq_training_freeze_params: Tuple[str, ...] = ("patch_wise_id_bank",)
     train_seq_training_start_ratio: float = 0.5

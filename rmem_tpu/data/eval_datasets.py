@@ -80,6 +80,14 @@ class VideoSequence:
             label = out
         return label
 
+    def first_label_file(self) -> Optional[str]:
+        """Path of the first annotation PNG (for byte-exact copy into the
+        result dir, reference eval_datasets.py:311-334)."""
+        if not self.labels or not getattr(self, "label_root", None):
+            return None
+        p = os.path.join(self.label_root, self.name, self.labels[0])
+        return p if os.path.isfile(p) else None
+
     def __iter__(self) -> Iterator[Frame]:
         for idx, img_name in enumerate(self.images):
             lbl = os.path.splitext(img_name)[0] + ".png"

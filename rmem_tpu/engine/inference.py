@@ -335,6 +335,24 @@ class InferenceEngine:
         return self._multi_step(self.params, tuple(states), tuple(imgs),
                                 out_hw=out_hw, flips=tuple(flips))
 
+    def _multi_scan_impl(self, params, states, imgs, out_hw, flips):
+        def body(sts, imgs_t):
+            sts, label = self._multi_step_impl(params, sts, imgs_t, out_hw,
+                                               flips)
+            return sts, label
+
+        return jax.lax.scan(body, tuple(states), tuple(imgs))
+
+    def scan_steps_multi(self, states, imgs, out_hw: Tuple[int, int], flips):
+        """Chunked multi-aug: imgs is a per-aug tuple of [K,B,H,W,3] stacks;
+        one dispatch per K-frame chunk."""
+        if not hasattr(self, "_multi_scan"):
+            self._multi_scan = jax.jit(
+                self._multi_scan_impl, donate_argnums=(1,),
+                static_argnames=("out_hw", "flips"))
+        return self._multi_scan(self.params, tuple(states), tuple(imgs),
+                                out_hw=out_hw, flips=tuple(flips))
+
     # -- chunked frame scan ---------------------------------------------
     def _scan_impl(self, params, state: EngineState, imgs, out_hw):
         """lax.scan of the fused step over a chunk of frames: ONE dispatch

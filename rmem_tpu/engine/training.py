@@ -165,7 +165,7 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
 
     # 3. frame scan (aot_engine.py:84-106)
     def frame_body(carry, data):
-        bank, short, first_short, last_mem_step, ghk, ghv = carry
+        bank, short, first_short, last_mem_step, ghk, ghv, _ = carry
         xs_f, label_f, onehot_f, ignore_f, fidx = data
         feat = xs_f[-1].reshape(b, hw, c)
         slot_pe = None
@@ -214,9 +214,14 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
         if cfg.reverse_infer:
             rloss = reverse_loss_fn(new_bank, new_first)
             loss = loss + jnp.where(do_long, rloss, 0.0)
+        # train-time IoU meter input (trainer.py:635-653, metric.py:4-36)
+        from rmem_tpu.utils.metric import pytorch_iou_batched
+        iou = pytorch_iou_batched(jax.lax.stop_gradient(pred_label),
+                                  label_f, obj_nums, cfg.model_max_obj_num)
         new_last = jnp.where(do_long, fidx, last_mem_step)
         return (new_bank, new_short, new_first, new_last,
-                new_ghk, new_ghv), loss
+                new_ghk, new_ghv,
+                jax.lax.stop_gradient(pred_label)), (loss, iou)
 
     short0 = (sk, sv, siv) if has_id else (sk, sv)
     xs_scan = tuple(jnp.swapaxes(x[:, 1:], 0, 1) for x in xs_bt)
@@ -226,10 +231,13 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
                  jnp.swapaxes(ignores[:, 1:], 0, 1),
                  jnp.arange(1, t, dtype=jnp.int32))
     carry0 = (bank, short0, jax.tree_util.tree_map(jnp.zeros_like, short0),
-              jnp.zeros((), jnp.int32), ghk0, ghv0)
+              jnp.zeros((), jnp.int32), ghk0, ghv0,
+              jnp.zeros((b,) + hw_in, jnp.int32))
 
     body = jax.checkpoint(frame_body) if t > 2 else frame_body
-    _, losses = jax.lax.scan(body, carry0, scan_data)  # losses [T-1, B]
+    carry_out, (losses, ious) = jax.lax.scan(body, carry0, scan_data)
+    last_pred = carry_out[-1]  # [B,H,W] argmax of the final frame
+    # losses [T-1, B]; ious [T-1]
 
     # 4. combine (aot_engine.py:108-113, _init_losses:145-146)
     aux_step = cfg.train_total_steps * cfg.train_aux_loss_ratio + 1e-5
@@ -237,8 +245,13 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
         aux_step - step, 0.0) / aux_step
     pred_loss = losses.mean()
     loss = aux_w * aux_loss.mean() + pred_loss
+    # per-frame-position meters + train IoU (trainer.py:635-653)
     metrics = {"loss": loss, "aux_loss": aux_loss.mean(),
-               "pred_loss": pred_loss, "aux_weight": aux_w}
+               "pred_loss": pred_loss, "aux_weight": aux_w,
+               "loss_per_frame": losses.mean(axis=-1),
+               "iou_per_frame": ious,
+               "iou": ious.mean(),
+               "pred_label_last": last_pred}
     if cfg.var_loss_weight > 0:
         # loss += VAR_LOSS_WEIGHT * var_loss (aot_engine.py:116-117)
         loss = loss + cfg.var_loss_weight * var_loss

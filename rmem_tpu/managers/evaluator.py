@@ -202,9 +202,7 @@ class Evaluator:
                         imgs[ai], glabels,
                         self._group_obj_nums(frame.obj_num, groups),
                         frame_step=0, gap=gap)
-                pred_label = np.asarray(frame.label, np.uint8)
-                self._save(pred_label, seq.name, frame.name, ori_h, ori_w,
-                           obj_idx)
+                self._save_first(seq, frame, ori_h, ori_w)
                 continue
 
             t0 = time.perf_counter()
@@ -301,8 +299,7 @@ class Evaluator:
                         self._group_obj_nums(frame.obj_num, groups),
                         frame_step=0, gap=gap)
                     states.append(st)
-                self._save(np.asarray(frame.label, np.uint8), seq.name,
-                           frame.name, ori_h, ori_w, obj_idx)
+                self._save_first(seq, frame, ori_h, ori_w)
                 continue
             t0 = time.perf_counter()
             if self.probe:
@@ -348,6 +345,20 @@ class Evaluator:
         for parity with the released checkpoints' scores."""
         del obj_num
         return [self.cfg.model_max_obj_num] * groups
+
+    def _save_first(self, seq, frame, ori_h: int, ori_w: int):
+        """Reference behavior: the first annotation is copied byte-exactly
+        into the result dir (eval_datasets.py:311-334), not re-encoded."""
+        import shutil
+        src = getattr(seq, "first_label_file", lambda: None)()
+        if src is not None:
+            dst = os.path.join(self.output_root, seq.name,
+                               os.path.splitext(frame.name)[0] + ".png")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy(src, dst)
+            return
+        self._save(np.asarray(frame.label, np.uint8), seq.name, frame.name,
+                   ori_h, ori_w, frame.obj_idx)
 
     def _save(self, label: np.ndarray, seq_name: str, frame_name: str,
               h: int, w: int, obj_idx):

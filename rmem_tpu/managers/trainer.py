@@ -89,19 +89,65 @@ class Trainer:
             self.state, metrics = self.pstep(self.state, batch, shuffle)
             step = int(self.state.step)
             if step % cfg.train_log_step == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+                m = {k: np.asarray(v) for k, v in metrics.items()}
+                # per-frame-position loss/IoU meters (trainer.py:635-653);
+                # sampled at log steps — a per-step device sync would pay
+                # the dispatch round-trip every iteration
+                self._update_meters(m)
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
                 eta_s = dt / cfg.train_log_step * (total - step)
                 self.log(f"step {step}/{total} loss {m['loss']:.4f} "
                          f"(aux {m['aux_loss']:.4f} w={m['aux_weight']:.2f}) "
+                         f"iou {float(m['iou']) * 100:.1f} "
                          f"gnorm {m['grad_norm']:.2f} "
                          f"{dt / cfg.train_log_step:.2f}s/it "
                          f"ETA {eta_s / 3600:.1f}h")
+            if (cfg.train_tblog_step
+                    and step % cfg.train_tblog_step == 0):
+                self._dump_images(batch, metrics["pred_label_last"], step)
             if step % cfg.train_save_step == 0:
                 self.save(step)
         self.loader.close()
-        return {k: float(v) for k, v in metrics.items()}
+        return {k: float(v) for k, v in metrics.items()
+                if np.ndim(v) == 0}
+
+    def _update_meters(self, m: Dict[str, np.ndarray]):
+        from rmem_tpu.utils.metric import AverageMeter
+        lpf, ipf = m["loss_per_frame"], m["iou_per_frame"]
+        if not hasattr(self, "loss_meters"):
+            self.loss_meters = [AverageMeter() for _ in range(len(lpf))]
+            self.iou_meters = [AverageMeter() for _ in range(len(ipf))]
+        for meter, v in zip(self.loss_meters, lpf):
+            meter.update(float(v))
+        for meter, v in zip(self.iou_meters, ipf):
+            meter.update(float(v) * 100.0)
+
+    def frame_meter_summary(self) -> Dict[str, list]:
+        """Per-frame-position running means (reference running_losses /
+        running_ious, trainer.py:635-653)."""
+        if not hasattr(self, "loss_meters"):
+            return {"loss_per_frame": [], "iou_per_frame": []}
+        return {"loss_per_frame": [mt.avg for mt in self.loss_meters],
+                "iou_per_frame": [mt.avg for mt in self.iou_meters]}
+
+    def _dump_images(self, batch, pred_label_last, step: int):
+        """Overlay-image logging (reference TB image logs,
+        trainer.py:745-862): last frame's input, GT, and prediction as
+        palettized PNGs under <result>/img_logs/."""
+        from rmem_tpu.utils.image import _save_mask as save_mask_png
+        out = os.path.join(self.cfg.dir_result, "img_logs")
+        os.makedirs(out, exist_ok=True)
+        imgs = np.asarray(batch["imgs"][0, -1])  # [H,W,3] float
+        gt = np.asarray(batch["labels"][0, -1]).astype(np.uint8)
+        pred = np.asarray(pred_label_last[0]).astype(np.uint8)
+        lo, hi = float(imgs.min()), float(imgs.max())
+        u8 = ((imgs - lo) / max(hi - lo, 1e-6) * 255).astype(np.uint8)
+        from PIL import Image
+        Image.fromarray(u8).save(os.path.join(out, f"{step:08d}_img.png"))
+        save_mask_png(np.where(gt == 255, 0, gt),
+                      os.path.join(out, f"{step:08d}_gt.png"))
+        save_mask_png(pred, os.path.join(out, f"{step:08d}_pred.png"))
 
     def save(self, step: int):
         save_checkpoint(self.state, self.ckpt_dir, step,

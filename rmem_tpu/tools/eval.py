@@ -33,6 +33,9 @@ def main():
     p.add_argument("--probe", action="store_true",
                    help="print per-frame logit probes (determinism harness, "
                         "reference --debug_fix_random)")
+    p.add_argument("--zip", action="store_true",
+                   help="zip the result tree afterwards (benchmark "
+                        "submission format, reference utils/eval.py)")
     p.add_argument("--opt", nargs="*", default=[], metavar="KEY=VALUE",
                    help="generic config overrides")
     args = p.parse_args()
@@ -65,6 +68,11 @@ def main():
             print(f"probe[{i}]: {pr.tolist()}")
     print(json.dumps({k: v for k, v in stats.items()
                       if k != "per_seq_fps"}, indent=2))
+
+    if args.zip:
+        from rmem_tpu.utils.eval import zip_folder
+        zpath = ev.output_root.rstrip("/") + ".zip"
+        print(f"zipped results: {zip_folder(ev.output_root, zpath)}")
 
     if args.score and args.dataset not in ("test",):
         from rmem_tpu.evaluation import Evaluation

@@ -40,9 +40,20 @@ def load_pytree(template, path: str):
 
 def save_checkpoint(state, ckpt_dir: str, step: int, max_keep: int = 8,
                     prefix: str = "save_step_"):
-    """Save + prune to max_keep (utils/checkpoint.py:130-138)."""
+    """Save + prune to max_keep (utils/checkpoint.py:130-138). On write
+    failure (full/unwritable result volume), falls back to ./saved_models
+    like the reference (utils/checkpoint.py:120-128)."""
     path = os.path.join(ckpt_dir, f"{prefix}{step}.msgpack")
-    save_pytree(state, path)
+    try:
+        save_pytree(state, path)
+    except OSError as e:
+        fallback = "./saved_models"
+        print(f"checkpoint save to {path} failed ({e}); "
+              f"retrying in {fallback}")
+        os.makedirs(fallback, exist_ok=True)
+        ckpt_dir = fallback
+        path = os.path.join(ckpt_dir, f"{prefix}{step}.msgpack")
+        save_pytree(state, path)
     kept = sorted(
         (f for f in os.listdir(ckpt_dir)
          if f.startswith(prefix) and f.endswith(".msgpack")),

@@ -6,6 +6,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def pytorch_iou_batched(pred: jnp.ndarray, target: jnp.ndarray,
+                        obj_nums: jnp.ndarray, max_obj: int,
+                        epsilon: float = 1e-6) -> jnp.ndarray:
+    """Jit-friendly train-time IoU with the reference's exact semantics
+    (metric.py:4-36): per batch item, mean foreground IoU over that item's
+    objects; items with zero objects are skipped; all-background batches
+    return 1. pred/target [B,H,W] int; obj_nums [B]. Returns a scalar."""
+    obj_ids = jnp.arange(1, max_obj + 1)
+    p = pred[:, None] == obj_ids[None, :, None, None]     # [B,O,H,W]
+    t = target[:, None] == obj_ids[None, :, None, None]
+    inter = jnp.sum(p & t, axis=(-2, -1)).astype(jnp.float32)
+    union = jnp.sum(p | t, axis=(-2, -1)).astype(jnp.float32)
+    iou = (inter + epsilon) / (union + epsilon)           # [B,O]
+    valid = (obj_ids[None, :] <= obj_nums[:, None])
+    per_item = jnp.sum(iou * valid, -1) / jnp.maximum(
+        jnp.sum(valid, -1), 1)
+    has = (obj_nums > 0).astype(jnp.float32)
+    mean = jnp.sum(per_item * has) / jnp.maximum(jnp.sum(has), 1.0)
+    return jnp.where(jnp.sum(has) > 0, mean, 1.0)
+
+
 def pytorch_iou(pred: jnp.ndarray, target: jnp.ndarray, obj_num: int,
                 epsilon: float = 1e-6) -> jnp.ndarray:
     """Mean foreground IoU between predicted and GT label maps

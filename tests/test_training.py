@@ -1,6 +1,8 @@
 """Training step smoke tests: loss finite and decreasing on a synthetic clip;
 multi-device data-parallel step on the 8-way virtual CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +38,11 @@ def test_train_forward_finite(model_name):
         jnp.float32(0), None, jnp.asarray(False), cfg)
     assert np.isfinite(float(loss))
     assert float(metrics["aux_weight"]) == pytest.approx(1.0, abs=1e-3)
+    # observability outputs (reference per-frame meters, trainer.py:635-653)
+    assert metrics["loss_per_frame"].shape == (3,)
+    assert metrics["iou_per_frame"].shape == (3,)
+    assert 0.0 <= float(metrics["iou"]) <= 1.0
+    assert metrics["pred_label_last"].shape == (1, *HW)
 
 
 def test_train_step_loss_decreases():
@@ -121,6 +128,28 @@ def test_optimizer_group_labels():
     assert all(v == "frozen" for k, v in joined.items()
                if "/bn" in k or k.startswith("encoder/bn"))
     assert joined["lstt/block0/linear_Q/kernel"] == "base"
+
+
+def test_trainer_meters_and_image_logs(tmp_path):
+    """Per-frame meters fill and overlay PNGs are dumped when
+    train_tblog_step is set (reference trainer.py:635-653,745-862)."""
+    from rmem_tpu.managers.trainer import Trainer
+
+    cfg = get_config("test", model="tiny_deaotl", train_total_steps=100,
+                     train_batch_size=1, data_seq_len=3, train_log_step=1,
+                     train_tblog_step=2, train_save_step=10_000,
+                     dir_root=str(tmp_path))
+    tr = Trainer(cfg, log=lambda *a: None)
+    tr.train(max_steps=2)
+    meters = tr.frame_meter_summary()
+    assert len(meters["loss_per_frame"]) == 2  # seq_len-1 frame positions
+    assert len(meters["iou_per_frame"]) == 2
+    assert all(0.0 <= v <= 100.0 for v in meters["iou_per_frame"])
+    img_dir = os.path.join(cfg.dir_result, "img_logs")
+    names = sorted(os.listdir(img_dir))
+    assert any(n.endswith("_img.png") for n in names)
+    assert any(n.endswith("_gt.png") for n in names)
+    assert any(n.endswith("_pred.png") for n in names)
 
 
 def test_train_forward_var_loss():
