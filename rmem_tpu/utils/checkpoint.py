@@ -125,6 +125,46 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+class _RecordingDict(dict):
+    """Tracks which source keys a conversion actually read, so unconsumed
+    checkpoint content is reported instead of silently dropped."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+
+# Keys that exist in reference checkpoints but are dead at runtime in the
+# reference itself, so dropping them loses nothing:
+# - Q_time_encode / K_time_encode: constructed when TIME_ENCODE=True
+#   (transformer.py:518-527) but never called anywhere — the engine computes
+#   a sinusoidal table (aot_engine.py:293-300,413-421) and stores it on self
+#   without ever passing it to the transformer, and the MLPs have no call
+#   site. Checkpoint-visible dead parameters.
+# - num_batches_tracked: torch BN bookkeeping, irrelevant once BN is folded.
+_KNOWN_DEAD_PATTERNS = (
+    re.compile(r"\.(Q|K)_time_encode\.\d+\.(weight|bias)$"),
+    re.compile(r"num_batches_tracked$"),
+)
+
+
+def classify_unconsumed(sd: "_RecordingDict") -> Tuple[List[str], List[str]]:
+    """Split unread source keys into (known-dead, unexpected)."""
+    dead, unexpected = [], []
+    for k in sd:
+        if k in sd.consumed:
+            continue
+        if any(p.search(k) for p in _KNOWN_DEAD_PATTERNS):
+            dead.append(k)
+        else:
+            unexpected.append(k)
+    return sorted(dead), sorted(unexpected)
+
+
 def _convert_resnet(sd, out: Dict[Tuple[str, ...], np.ndarray],
                     layers=(3, 4, 6)):
     p = ("encoder",)
@@ -351,6 +391,21 @@ def _convert_lstt_block(sd, out, i: int):
     _put_norm(sd, out, f"{t}.activation.gn", f + ("activation", "gn"))
     out[f + ("activation", "conv", "kernel")] = _conv(
         sd[f"{t}.activation.conv.weight"])
+    # GRU_MEMORY compressed-eviction cells: memory_grus[0] compresses the K
+    # plane (kernel 2x2), memory_grus[1] the V plane (kernel 1x1)
+    # (transformer.py:529-545,420-430)
+    for gi, gname in ((0, "memory_gru_k"), (1, "memory_gru_v")):
+        tg = f"{t}.memory_grus.{gi}"
+        if f"{tg}.conv_gru_cell.conv_gates.weight" not in sd:
+            continue
+        fg = f + (gname,)
+        for c in ("conv_gates", "conv_can"):
+            out[fg + ("cell", c, "kernel")] = _conv(
+                sd[f"{tg}.conv_gru_cell.{c}.weight"])
+            out[fg + ("cell", c, "bias")] = sd[f"{tg}.conv_gru_cell.{c}.bias"]
+        out[fg + ("output_conv", "kernel")] = _conv(
+            sd[f"{tg}.output_conv.weight"])
+        out[fg + ("output_conv", "bias")] = sd[f"{tg}.output_conv.bias"]
 
 
 def _convert_gpm_block(sd, out, i: int):
@@ -400,9 +455,16 @@ def _convert_fpn(sd, out):
 
 def convert_torch_checkpoint(sd: Dict[str, np.ndarray], model_vos: str,
                              num_layers: int = 3,
-                             id_channels: int = 12
+                             id_channels: int = 12,
+                             report: Optional[dict] = None
                              ) -> Dict[str, Any]:
-    """Torch state_dict -> nested flax param dict for AOT/DeAOT (r50)."""
+    """Torch state_dict -> nested flax param dict for AOT/DeAOT (r50).
+
+    If `report` is a dict, it is filled with `dead_keys` (source keys that
+    are dead in the reference itself, e.g. TIME_ENCODE MLPs — see
+    _KNOWN_DEAD_PATTERNS) and `unexpected_keys` (source content the
+    converter does not understand; should be empty for reference models)."""
+    sd = _RecordingDict(sd)
     out: Dict[Tuple[str, ...], np.ndarray] = {}
     if "encoder.patch_embed.proj.weight" in sd:
         _convert_swin(sd, out)
@@ -452,6 +514,10 @@ def convert_torch_checkpoint(sd: Dict[str, np.ndarray], model_vos: str,
     _convert_fpn(sd, out)
     if model_vos == "deaot":
         _put_norm(sd, out, "id_norm", ("id_norm",))
+    if report is not None:
+        dead, unexpected = classify_unconsumed(sd)
+        report["dead_keys"] = dead
+        report["unexpected_keys"] = unexpected
     return trav.unflatten_dict(out)
 
 
@@ -462,7 +528,16 @@ def load_pretrained(params, pth_path: str, model_vos: str,
     sd = load_torch_state_dict(pth_path)
     num_layers = len({k.split(".")[2] for k in sd
                       if k.startswith("LSTT.layers.")})
-    conv = convert_torch_checkpoint(sd, model_vos, num_layers, id_channels)
+    report: dict = {}
+    conv = convert_torch_checkpoint(sd, model_vos, num_layers, id_channels,
+                                    report=report)
+    if report.get("dead_keys"):
+        print(f"converter: dropped {len(report['dead_keys'])} "
+              "reference-dead params (TIME_ENCODE MLPs / BN counters)")
+    if report.get("unexpected_keys"):
+        print("converter: UNCONSUMED source keys "
+              f"{report['unexpected_keys'][:10]}"
+              f"{' ...' if len(report['unexpected_keys']) > 10 else ''}")
     flat_new = trav.flatten_dict(conv)
     flat_old = trav.flatten_dict(params)
     merged, skipped = {}, []

@@ -455,3 +455,115 @@ def test_encoder_converter_coverage_extended(kind, builder):
     bad = [(k, out[k].shape, flat[k].shape) for k in flat
            if out[k].shape != flat[k].shape]
     assert not bad, f"shape mismatches {bad[:8]}"
+
+
+def test_converter_time_encode_report():
+    """TIME_ENCODE checkpoints carry Q/K_time_encode MLPs that are dead in
+    the reference itself (constructed at transformer.py:518-527, never
+    called; the engine's sinusoidal table, aot_engine.py:293-300,413-421, is
+    stored on self and never passed to the transformer). The converter must
+    classify them as known-dead, not silently-lost (VERDICT r1 #9)."""
+    cfg = get_config("pre_vost", model="r50_aotl")
+    model = build_vos_model(cfg.model_vos, cfg)
+    params = init_params(model, jax.random.PRNGKey(0), HW)
+    flat = trav.flatten_dict(params)
+    sd = _fabricate_torch_sd(flat, cfg.model_vos)
+    rng = np.random.RandomState(3)
+    d = cfg.model_encoder_embedding_dim
+    for i in range(cfg.model_lstt_num):
+        for side in ("Q", "K"):
+            for li in (0, 2):  # Sequential(Linear, ReLU, Linear)
+                sd[f"LSTT.layers.{i}.{side}_time_encode.{li}.weight"] = \
+                    rng.randn(d, d).astype(np.float32)
+                sd[f"LSTT.layers.{i}.{side}_time_encode.{li}.bias"] = \
+                    rng.randn(d).astype(np.float32)
+    sd["encoder.bn1.num_batches_tracked"] = np.asarray(100)
+    sd["some.novel.thing.weight"] = rng.randn(4).astype(np.float32)
+
+    report = {}
+    conv = convert_torch_checkpoint(sd, cfg.model_vos, cfg.model_lstt_num,
+                                    cfg.id_channels, report=report)
+    # conversion is unaffected
+    flat_conv = trav.flatten_dict(conv)
+    assert not [k for k in flat if k not in flat_conv]
+    # 3 layers x 2 sides x 2 linears x 2 tensors + 1 BN counter
+    assert len(report["dead_keys"]) == 3 * 2 * 2 * 2 + 1
+    assert all("time_encode" in k or "num_batches" in k
+               for k in report["dead_keys"])
+    assert report["unexpected_keys"] == ["some.novel.thing.weight"]
+
+
+def test_converter_gru_memory_coverage_and_values():
+    """memory_grus (GRU_MEMORY compressed eviction, transformer.py:529-545)
+    convert onto our ConvGRUCellOutput params with value parity."""
+    import torch
+
+    cfg = get_config("pre_vost", model="r50_aotl", gru_memory=True)
+    model = build_vos_model(cfg.model_vos, cfg)
+    params = init_params(model, jax.random.PRNGKey(0), HW)
+    flat = trav.flatten_dict(params)
+    sd = _fabricate_torch_sd(flat, cfg.model_vos)
+    # drop the auto-fabricated (wrongly named) gru keys; we add the real
+    # reference-named memory_grus.* keys below
+    sd = {k: v for k, v in sd.items() if "memory_gru_" not in k}
+    rng = np.random.RandomState(11)
+    d = cfg.model_encoder_embedding_dim
+    for i in range(cfg.model_lstt_num):
+        for gi, k in ((0, 2), (1, 1)):  # K-plane kernel 2x2, V-plane 1x1
+            t = f"LSTT.layers.{i}.memory_grus.{gi}"
+            sd[f"{t}.conv_gru_cell.conv_gates.weight"] = rng.randn(
+                2 * d, 2 * d, k, k).astype(np.float32) * 0.05
+            sd[f"{t}.conv_gru_cell.conv_gates.bias"] = rng.randn(
+                2 * d).astype(np.float32) * 0.05
+            sd[f"{t}.conv_gru_cell.conv_can.weight"] = rng.randn(
+                d, 2 * d, k, k).astype(np.float32) * 0.05
+            sd[f"{t}.conv_gru_cell.conv_can.bias"] = rng.randn(
+                d).astype(np.float32) * 0.05
+            sd[f"{t}.output_conv.weight"] = rng.randn(
+                d, d, 1, 1).astype(np.float32) * 0.05
+            sd[f"{t}.output_conv.bias"] = rng.randn(d).astype(np.float32)
+
+    report = {}
+    conv = convert_torch_checkpoint(sd, cfg.model_vos, cfg.model_lstt_num,
+                                    cfg.id_channels, report=report)
+    flat_conv = trav.flatten_dict(conv)
+    missing = [k for k in flat if k not in flat_conv]
+    assert not missing, f"converter missed {missing[:8]}"
+    assert report["unexpected_keys"] == []
+
+    # value parity: run torch's ConvGRUCellOutput math vs ours on block0 K
+    def torch_gru(x, h, t):
+        x, h = torch.tensor(x), torch.tensor(h)  # NCHW
+        def c2d(name, inp, pad):
+            w = torch.tensor(sd[f"{t}.{name}.weight"])
+            b = torch.tensor(sd[f"{t}.{name}.bias"])
+            return torch.nn.functional.conv2d(inp, w, b, padding=pad)
+        comb = torch.cat([x, h], dim=1)
+        # torch padding='same' for k=2: F.pad asymmetric (left 0, right 1)
+        if sd[f"{t}.conv_gru_cell.conv_gates.weight"].shape[2] == 2:
+            comb_p = torch.nn.functional.pad(comb, (0, 1, 0, 1))
+            gates = c2d("conv_gru_cell.conv_gates", comb_p, 0)
+        else:
+            gates = c2d("conv_gru_cell.conv_gates", comb, 0)
+        gamma, beta = torch.split(gates, gates.shape[1] // 2, dim=1)
+        reset, update = torch.sigmoid(gamma), torch.sigmoid(beta)
+        comb2 = torch.cat([x, reset * h], dim=1)
+        if sd[f"{t}.conv_gru_cell.conv_can.weight"].shape[2] == 2:
+            comb2 = torch.nn.functional.pad(comb2, (0, 1, 0, 1))
+        cand = torch.tanh(c2d("conv_gru_cell.conv_can", comb2, 0))
+        h_next = (1 - update) * h + update * cand
+        out = c2d("output_conv", h_next, 0)
+        return h_next.numpy(), out.numpy()
+
+    from rmem_tpu.models.conv_gru import ConvGRUCellOutput
+    x = rng.randn(1, d, 5, 7).astype(np.float32)
+    h = rng.randn(1, d, 5, 7).astype(np.float32)
+    th, tout = torch_gru(x, h, "LSTT.layers.0.memory_grus.0")
+    gmod = ConvGRUCellOutput(d, d, kernel=2)
+    gparams = {"params": conv["lstt"]["block0"]["memory_gru_k"]}
+    jh, jout = gmod.apply(gparams, np.transpose(x, (0, 2, 3, 1)),
+                          np.transpose(h, (0, 2, 3, 1)))
+    np.testing.assert_allclose(np.transpose(np.asarray(jh), (0, 3, 1, 2)),
+                               th, atol=2e-5)
+    np.testing.assert_allclose(np.transpose(np.asarray(jout), (0, 3, 1, 2)),
+                               tout, atol=2e-5)
