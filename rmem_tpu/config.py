@@ -76,6 +76,8 @@ class Config:
     # ---- data ----
     datasets: Tuple[str, ...] = ("youtubevos",)
     data_workers: int = 8
+    # decode/augment in forked subprocesses instead of GIL-bound threads
+    data_loader_processes: bool = True
     data_randomcrop: Tuple[int, int] = (465, 465)
     data_randomflip: float = 0.5
     data_max_crop_steps: int = 10
@@ -160,6 +162,12 @@ class Config:
     compute_dtype: str = "bfloat16"      # activations dtype under jit
     param_dtype: str = "float32"
     use_pallas_bank_attention: bool = True
+    # training fwd+bwd through the fused kernel (flash-style custom VJP,
+    # kernels/bank_attention.py); off on CPU test meshes (interpret mode
+    # would be needed), on for real-chip training runs
+    use_pallas_bank_attention_train: bool = False
+    # frame-scan remat policy: "full" | "dots" (save matmul outputs) | "none"
+    train_remat: str = "full"
     mesh_shape: Tuple[int, ...] = (1,)   # data-parallel axis sizes
     mesh_axes: Tuple[str, ...] = ("data",)
 

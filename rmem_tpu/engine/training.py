@@ -144,7 +144,9 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
                                               bank.capacity)
         inter, _, _ = apply(type(model).lstt_forward,
                             xs_frames0_feat, bank_tuple, rmask, first_short,
-                            None, self_pos, cur_pe, slot_pe, (eh, ew))
+                            None, self_pos, cur_pe, slot_pe, (eh, ew), False,
+                            deterministic, dp_rng,
+                            cfg.use_pallas_bank_attention_train)
         _, loss = decode(inter, xs0, labels[:, 0])
         return cfg.reverse_loss * loss
 
@@ -177,7 +179,8 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
         inter, mems, _ = apply(type(model).lstt_forward, feat, bank_tuple,
                                valid_slot_mask(bank), short, None, self_pos,
                                cur_pe, slot_pe, (eh, ew), False,
-                               deterministic, dp_rng)
+                               deterministic, dp_rng,
+                               cfg.use_pallas_bank_attention_train)
         logits_full, loss = decode(inter, xs_f, label_f)
 
         # memory write for THIS frame (aot_engine.py:91-99,327-336):
@@ -234,7 +237,19 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
               jnp.zeros((), jnp.int32), ghk0, ghv0,
               jnp.zeros((b,) + hw_in, jnp.int32))
 
-    body = jax.checkpoint(frame_body) if t > 2 else frame_body
+    # remat policy over the per-frame LSTT body (the encoder is already
+    # outside the scan): "full" recomputes everything in the backward pass,
+    # "dots" saves MXU outputs (recompute only elementwise/softmax — more
+    # memory, less recompute), "none" stores all activations
+    remat = cfg.train_remat if t > 2 else "none"
+    if remat == "full":
+        body = jax.checkpoint(frame_body)
+    elif remat == "dots":
+        body = jax.checkpoint(
+            frame_body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    else:
+        body = frame_body
     carry_out, (losses, ious) = jax.lax.scan(body, carry0, scan_data)
     last_pred = carry_out[-1]  # [B,H,W] argmax of the final frame
     # losses [T-1, B]; ious [T-1]

@@ -1,5 +1,5 @@
-"""Pallas TPU kernel: fused query -> memory-bank cross-attention with a
-per-slot attention-mass epilogue.
+"""Pallas TPU kernels: fused query -> memory-bank cross-attention with a
+per-slot attention-mass epilogue, forward AND backward (custom VJP).
 
 This is the RMem hot path: every frame attends from [Lq] query tokens into
 S fixed slots x [Lk] tokens of bank keys/values, and eviction additionally
@@ -10,9 +10,19 @@ mass free: while the online softmax accumulates (m, l, acc) per query tile,
 we also accumulate a [TQ, S] per-slot partial sum that is rescaled together
 with l; the final division by l yields exactly softmax-mass-per-slot.
 
-Grid: (B*heads, q_tiles, S * kv_chunks), kv minor-most so scratch carries the
-online-softmax state across the key stream for one query tile. Invalid slots
-(slot >= count) and key padding are masked with -inf before the max.
+Backward is the standard flash-attention two-kernel split (a dq kernel
+streaming over kv chunks, and a dk/dv kernel streaming over query tiles),
+extended for the mass epilogue: the slot-mass output rec contributes
+g_k += drec[slot(k)] to the softmax backward  ds = p * (g - delta)  with
+delta = rowsum(dout*out) + rowsum(drec_h*rec_h), so gradients flow through
+both outputs. Forward saves the per-row logsumexp, so nothing is
+re-normalized in the backward pass.
+
+Grid (fwd, dq): (B*heads, q_tiles, S * kv_chunks), kv minor-most so scratch
+carries the online-softmax / dq state across the key stream for one query
+tile. Grid (dk/dv): (B*heads, S * kv_chunks, q_tiles), q minor-most.
+Invalid slots (slot >= count) and key padding are masked; input DMAs of
+invalid slots are re-pointed at the last valid slot so Mosaic skips them.
 """
 
 from __future__ import annotations
@@ -22,16 +32,21 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
 
-def _kernel(count_ref, q_ref, k_ref, v_ref, out_ref, rec_ref,
-            m_scr, l_scr, acc_scr, mass_scr,
-            *, scale: float, lk: int, tk: int, chunks_per_slot: int,
-            num_slots: int):
+def _kernel(count_ref, q_ref, k_ref, v_ref, *refs,
+            scale: float, lk: int, tk: int, chunks_per_slot: int,
+            num_slots: int, want_lse: bool):
+    if want_lse:
+        out_ref, rec_ref, lse_ref, m_scr, l_scr, acc_scr, mass_scr = refs
+    else:
+        out_ref, rec_ref, m_scr, l_scr, acc_scr, mass_scr = refs
+        lse_ref = None
     skv = pl.program_id(2)
     s = skv // chunks_per_slot
     c = skv % chunks_per_slot
@@ -81,55 +96,146 @@ def _kernel(count_ref, q_ref, k_ref, v_ref, out_ref, rec_ref,
         l = jnp.maximum(l_scr[:], 1e-30)
         out_ref[0] = (acc_scr[:] / l).astype(out_ref.dtype)
         rec_ref[0] = (mass_scr[:] / l).astype(rec_ref.dtype)
+        if want_lse:
+            lse_ref[0] = m_scr[:] + jnp.log(l)
+
+
+def _dq_kernel(count_ref, q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
+               drech_ref, dq_ref, dq_scr,
+               *, scale: float, lk: int, tk: int, chunks_per_slot: int,
+               num_slots: int):
+    skv = pl.program_id(2)
+    s = skv // chunks_per_slot
+    c = skv % chunks_per_slot
+    total = pl.num_programs(2)
+
+    @pl.when(skv == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when(s < count_ref[0])
+    def _step():
+        q = q_ref[0]                               # [TQ, dh]
+        k = k_ref[0, 0]                            # [TK, dh]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        key_pos = c * tk + jax.lax.broadcasted_iota(
+            jnp.int32, logits.shape, 1)
+        p = jnp.where(key_pos < lk,
+                      jnp.exp(logits - lse_ref[0]), 0.0)   # [TQ, TK]
+        # g_k = dout . v_k + drec[slot(k)]
+        g = jax.lax.dot_general(
+            dout_ref[0], v_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        slot_ids = jax.lax.broadcasted_iota(
+            jnp.int32, drech_ref[0].shape, 1)
+        r = jnp.sum(jnp.where(slot_ids == s, drech_ref[0], 0.0),
+                    axis=1, keepdims=True)                 # [TQ, 1]
+        ds = p * (g + r - delta_ref[0])                    # [TQ, TK]
+        dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    @pl.when(skv == total - 1)
+    def _fin():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(count_ref, q_ref, k_ref, v_ref, dout_ref, lse_ref, delta_ref,
+                drech_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                *, scale: float, lk: int, tk: int, chunks_per_slot: int,
+                num_slots: int):
+    skv = pl.program_id(1)
+    s = skv // chunks_per_slot
+    c = skv % chunks_per_slot
+    qt = pl.program_id(2)
+    q_total = pl.num_programs(2)
+
+    @pl.when(qt == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when(s < count_ref[0])
+    def _step():
+        q = q_ref[0]                               # [TQ, dh]
+        k = k_ref[0, 0]                            # [TK, dh]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        key_pos = c * tk + jax.lax.broadcasted_iota(
+            jnp.int32, logits.shape, 1)
+        p = jnp.where(key_pos < lk,
+                      jnp.exp(logits - lse_ref[0]), 0.0)   # [TQ, TK]
+        dout = dout_ref[0]                         # [TQ, dv]
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            p.astype(dout.dtype), dout, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g = jax.lax.dot_general(
+            dout, v_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        slot_ids = jax.lax.broadcasted_iota(
+            jnp.int32, drech_ref[0].shape, 1)
+        r = jnp.sum(jnp.where(slot_ids == s, drech_ref[0], 0.0),
+                    axis=1, keepdims=True)
+        ds = p * (g + r - delta_ref[0])            # [TQ, TK]
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    @pl.when(qt == q_total - 1)
+    def _fin():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def pallas_bank_attention(q: jnp.ndarray, bank_k: jnp.ndarray,
-                          bank_v: jnp.ndarray, count: jnp.ndarray,
-                          num_heads: int, scale: Optional[float] = None,
-                          tile_q: int = 256, tile_k: int = 512
-                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Same contract as ops.attention.bank_attention but fused.
-
-    q: [B, Lq, h*dh]; bank_k: [S, B, Lk, h*dh]; bank_v: [S, B, Lk, h*dv];
-    count: scalar int32 (valid slots). Returns (out [B, Lq, h*dv],
-    record [B, Lq, S] head-averaged slot mass).
-    """
+def _layout(q, bank_k, bank_v, num_heads, tile_q, tile_k):
+    """Split heads, pad to tiles: q -> [BH, Lq_pad, dh], bank -> [S, BH,
+    Lk_pad, d]. Returns the padded arrays plus the geometry tuple."""
     s_slots, b, lk, _ = bank_k.shape
     lq = q.shape[1]
     dh = q.shape[-1] // num_heads
     dv = bank_v.shape[-1] // num_heads
-    scale = scale if scale is not None else dh ** -0.5
 
     tq = min(tile_q, _round_up(lq, 128))
     tk = min(tile_k, _round_up(lk, 128))
     lq_pad = _round_up(lq, tq)
     lk_pad = _round_up(lk, tk)
-    chunks = lk_pad // tk
 
-    # [BH, Lq_pad, dh]
     qh = q.reshape(b, lq, num_heads, dh).transpose(0, 2, 1, 3)
     qh = qh.reshape(b * num_heads, lq, dh)
     qh = jnp.pad(qh, ((0, 0), (0, lq_pad - lq), (0, 0)))
-    # [S, BH, Lk_pad, d*]
     kh = bank_k.reshape(s_slots, b, lk, num_heads, dh).transpose(0, 1, 3, 2, 4)
     kh = kh.reshape(s_slots, b * num_heads, lk, dh)
     kh = jnp.pad(kh, ((0, 0), (0, 0), (0, lk_pad - lk), (0, 0)))
     vh = bank_v.reshape(s_slots, b, lk, num_heads, dv).transpose(0, 1, 3, 2, 4)
     vh = vh.reshape(s_slots, b * num_heads, lk, dv)
     vh = jnp.pad(vh, ((0, 0), (0, 0), (0, lk_pad - lk), (0, 0)))
+    geom = (s_slots, b, lq, lk, dh, dv, tq, tk, lq_pad, lk_pad)
+    return qh, kh, vh, geom
 
+
+def _forward(q, bank_k, bank_v, count, num_heads, scale, tile_q, tile_k,
+             want_lse: bool = False):
+    """Raw fused forward. Returns (out_bh [BH,Lq_pad,dv], rec_bh
+    [BH,Lq_pad,S], lse [BH,Lq_pad,1] | None, geom). lse is only emitted on
+    the VJP forward — the inference path skips the extra output store."""
+    qh, kh, vh, geom = _layout(q, bank_k, bank_v, num_heads, tile_q, tile_k)
+    s_slots, b, lq, lk, dh, dv, tq, tk, lq_pad, lk_pad = geom
+    chunks = lk_pad // tk
     bh = b * num_heads
     grid = (bh, lq_pad // tq, s_slots * chunks)
 
     kernel = functools.partial(
         _kernel, scale=scale, lk=lk, tk=tk, chunks_per_slot=chunks,
-        num_slots=s_slots)
+        num_slots=s_slots, want_lse=want_lse)
 
-    out, rec = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -154,7 +260,9 @@ def pallas_bank_attention(q: jnp.ndarray, bank_k: jnp.ndarray,
                              lambda bh_, qt, skv, *_: (bh_, qt, 0)),
                 pl.BlockSpec((1, tq, s_slots),
                              lambda bh_, qt, skv, *_: (bh_, qt, 0)),
-            ],
+            ] + ([pl.BlockSpec((1, tq, 1),
+                               lambda bh_, qt, skv, *_: (bh_, qt, 0))]
+                 if want_lse else []),
             scratch_shapes=[
                 pltpu.VMEM((tq, 1), jnp.float32),        # m
                 pltpu.VMEM((tq, 1), jnp.float32),        # l
@@ -165,10 +273,153 @@ def pallas_bank_attention(q: jnp.ndarray, bank_k: jnp.ndarray,
         out_shape=[
             jax.ShapeDtypeStruct((bh, lq_pad, dv), bank_v.dtype),
             jax.ShapeDtypeStruct((bh, lq_pad, s_slots), jnp.float32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((bh, lq_pad, 1), jnp.float32)]
+             if want_lse else []),
     )(count.reshape(1).astype(jnp.int32), qh, kh, vh)
+    out, rec = outs[0], outs[1]
+    lse = outs[2] if want_lse else None
+    return out, rec, lse, geom
 
-    out = out[:, :lq].reshape(b, num_heads, lq, dv).transpose(0, 2, 1, 3)
+
+def _unlayout_out(out_bh, rec_bh, geom, num_heads):
+    s_slots, b, lq, lk, dh, dv, *_ = geom
+    out = out_bh[:, :lq].reshape(b, num_heads, lq, dv).transpose(0, 2, 1, 3)
     out = out.reshape(b, lq, num_heads * dv)
-    rec = rec[:, :lq].reshape(b, num_heads, lq, s_slots).mean(axis=1)
+    rec = rec_bh[:, :lq].reshape(b, num_heads, lq, s_slots).mean(axis=1)
     return out, rec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _bank_attention(q, bank_k, bank_v, count, num_heads, scale,
+                    tile_q, tile_k):
+    out_bh, rec_bh, _, geom = _forward(q, bank_k, bank_v, count, num_heads,
+                                       scale, tile_q, tile_k)
+    return _unlayout_out(out_bh, rec_bh, geom, num_heads)
+
+
+def _bank_attention_fwd(q, bank_k, bank_v, count, num_heads, scale,
+                        tile_q, tile_k):
+    out_bh, rec_bh, lse, geom = _forward(q, bank_k, bank_v, count, num_heads,
+                                         scale, tile_q, tile_k,
+                                         want_lse=True)
+    out, rec = _unlayout_out(out_bh, rec_bh, geom, num_heads)
+    return (out, rec), (q, bank_k, bank_v, count, out_bh, rec_bh, lse)
+
+
+def _bank_attention_bwd(num_heads, scale, tile_q, tile_k, res, cts):
+    q, bank_k, bank_v, count, out_bh, rec_bh, lse = res
+    dout, drec = cts
+    qh, kh, vh, geom = _layout(q, bank_k, bank_v, num_heads, tile_q, tile_k)
+    s_slots, b, lq, lk, dh, dv, tq, tk, lq_pad, lk_pad = geom
+    chunks = lk_pad // tk
+    bh = b * num_heads
+
+    # cotangents into the padded [BH, ...] layout
+    douth = dout.reshape(b, lq, num_heads, dv).transpose(0, 2, 1, 3)
+    douth = douth.reshape(bh, lq, dv).astype(jnp.float32)
+    douth = jnp.pad(douth, ((0, 0), (0, lq_pad - lq), (0, 0)))
+    # rec output is the head MEAN, so each head sees drec / H
+    drech = (drec.astype(jnp.float32) / num_heads)[:, None]
+    drech = jnp.broadcast_to(drech, (b, num_heads, lq, s_slots))
+    drech = drech.reshape(bh, lq, s_slots)
+    drech = jnp.pad(drech, ((0, 0), (0, lq_pad - lq), (0, 0)))
+
+    # delta = sum_k p_k g_k = rowsum(dout*out) + rowsum(drec_h * rec_h)
+    delta = jnp.sum(douth * out_bh.astype(jnp.float32), axis=-1,
+                    keepdims=True)
+    delta = delta + jnp.sum(drech * rec_bh, axis=-1, keepdims=True)
+
+    cnt = count.reshape(1).astype(jnp.int32)
+    common = dict(scale=scale, lk=lk, tk=tk, chunks_per_slot=chunks,
+                  num_slots=s_slots)
+
+    def q_spec(width):
+        return pl.BlockSpec((1, tq, width),
+                            lambda bh_, a, b_, *_: (bh_, a, 0))
+
+    def q_spec_minor(width):
+        return pl.BlockSpec((1, tq, width),
+                            lambda bh_, skv, qt, *_: (bh_, qt, 0))
+
+    def kv_spec(width, clamp=True):
+        def idx(bh_, a, b_, cnt_):
+            skv = b_
+            sl = skv // chunks
+            if clamp:
+                sl = jnp.minimum(sl, cnt_[0] - 1)
+            return (sl, bh_, skv % chunks, 0)
+        return pl.BlockSpec((1, 1, tk, width), idx)
+
+    def kv_spec_minor(width, clamp=True):
+        def idx(bh_, skv, qt, cnt_):
+            sl = skv // chunks
+            if clamp:
+                sl = jnp.minimum(sl, cnt_[0] - 1)
+            return (sl, bh_, skv % chunks, 0)
+        return pl.BlockSpec((1, 1, tk, width), idx)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, lq_pad // tq, s_slots * chunks),
+            in_specs=[q_spec(dh), kv_spec(dh), kv_spec(dv), q_spec(dv),
+                      q_spec(1), q_spec(1), q_spec(s_slots)],
+            out_specs=[q_spec(dh)],
+            scratch_shapes=[pltpu.VMEM((tq, dh), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((bh, lq_pad, dh), jnp.float32)],
+    )(cnt, qh, kh, vh, douth, lse, delta, drech)[0]
+
+    dk, dvv = pl.pallas_call(
+        functools.partial(_dkv_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, s_slots * chunks, lq_pad // tq),
+            in_specs=[q_spec_minor(dh), kv_spec_minor(dh),
+                      kv_spec_minor(dv), q_spec_minor(dv),
+                      q_spec_minor(1), q_spec_minor(1),
+                      q_spec_minor(s_slots)],
+            out_specs=[kv_spec_minor(dh, clamp=False),
+                       kv_spec_minor(dv, clamp=False)],
+            scratch_shapes=[pltpu.VMEM((tk, dh), jnp.float32),
+                            pltpu.VMEM((tk, dv), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((s_slots, bh, lk_pad, dh), jnp.float32),
+            jax.ShapeDtypeStruct((s_slots, bh, lk_pad, dv), jnp.float32),
+        ],
+    )(cnt, qh, kh, vh, douth, lse, delta, drech)
+
+    # back to caller layouts
+    dq = dq[:, :lq].reshape(b, num_heads, lq, dh).transpose(0, 2, 1, 3)
+    dq = dq.reshape(b, lq, num_heads * dh).astype(q.dtype)
+    dk = dk[:, :, :lk].reshape(s_slots, b, num_heads, lk, dh)
+    dk = dk.transpose(0, 1, 3, 2, 4).reshape(s_slots, b, lk, num_heads * dh)
+    dvv = dvv[:, :, :lk].reshape(s_slots, b, num_heads, lk, dv)
+    dvv = dvv.transpose(0, 1, 3, 2, 4).reshape(s_slots, b, lk, num_heads * dv)
+    dcount = np.zeros(count.shape, jax.dtypes.float0)
+    return dq.astype(q.dtype), dk.astype(bank_k.dtype), \
+        dvv.astype(bank_v.dtype), dcount
+
+
+_bank_attention.defvjp(_bank_attention_fwd, _bank_attention_bwd)
+
+
+def pallas_bank_attention(q: jnp.ndarray, bank_k: jnp.ndarray,
+                          bank_v: jnp.ndarray, count: jnp.ndarray,
+                          num_heads: int, scale: Optional[float] = None,
+                          tile_q: int = 256, tile_k: int = 512
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Same contract as ops.attention.bank_attention but fused, and
+    differentiable (flash-style Pallas backward, incl. gradient flow
+    through the slot-mass record).
+
+    q: [B, Lq, h*dh]; bank_k: [S, B, Lk, h*dh]; bank_v: [S, B, Lk, h*dv];
+    count: scalar int32 (valid slots). Returns (out [B, Lq, h*dv],
+    record [B, Lq, S] head-averaged slot mass).
+    """
+    dh = q.shape[-1] // num_heads
+    scale = scale if scale is not None else dh ** -0.5
+    return _bank_attention(q, bank_k, bank_v, count, num_heads, float(scale),
+                           int(tile_q), int(tile_k))

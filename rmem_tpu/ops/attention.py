@@ -334,8 +334,10 @@ def bank_attention_dispatch(q, bank_k, bank_v, slot_mask, num_heads: int,
                             use_pallas: bool = False):
     """Route to the fused Pallas kernel or the XLA einsum formulation.
 
-    The Pallas path derives the valid-slot count from the (prefix) mask; it
-    has no custom VJP yet, so callers must pass use_pallas=False under grad.
+    The Pallas path derives the valid-slot count from the (prefix) mask.
+    Both paths are differentiable: the Pallas kernel carries a flash-style
+    custom VJP (kernels/bank_attention.py) with gradient flow through both
+    the output and the slot-mass record.
     """
     if use_pallas:
         from rmem_tpu.kernels.bank_attention import pallas_bank_attention

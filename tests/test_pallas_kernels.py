@@ -1,4 +1,6 @@
-"""Pallas kernel parity vs the XLA reference ops (interpret mode on CPU)."""
+"""Pallas kernel parity vs the XLA reference ops (interpret mode on CPU):
+forward values, slot-mass record, edge cases (count=1/capacity, ragged Lk,
+bf16), and gradient parity through the custom flash-style VJP."""
 
 import jax
 import jax.numpy as jnp
@@ -7,14 +9,19 @@ import pytest
 
 from rmem_tpu.ops.attention import bank_attention
 
+from jax.experimental.pallas import tpu as pltpu
+from rmem_tpu.kernels.bank_attention import pallas_bank_attention
 
-def _run_pallas(q, bk, bv, count, heads, interpret=True):
-    from jax.experimental.pallas import tpu as pltpu
-    from rmem_tpu.kernels.bank_attention import pallas_bank_attention
+
+def _run_pallas(fn, *args, interpret=True):
     if interpret:
         with pltpu.force_tpu_interpret_mode():
-            return pallas_bank_attention(q, bk, bv, count, heads)
-    return pallas_bank_attention(q, bk, bv, count, heads)
+            return fn(*args)
+    return fn(*args)
+
+
+def _rand(rng, *shape, dtype=np.float32):
+    return jnp.asarray(rng.randn(*shape).astype(dtype))
 
 
 @pytest.mark.parametrize("heads,dh,dv,lq,lk", [
@@ -25,14 +32,15 @@ def _run_pallas(q, bk, bv, count, heads, interpret=True):
 def test_pallas_bank_attention_matches_xla(heads, dh, dv, lq, lk, n_valid):
     rng = np.random.RandomState(0)
     s, b = 4, 1
-    q = jnp.asarray(rng.randn(b, lq, heads * dh).astype(np.float32))
-    bk = jnp.asarray(rng.randn(s, b, lk, heads * dh).astype(np.float32))
-    bv = jnp.asarray(rng.randn(s, b, lk, heads * dv).astype(np.float32))
+    q = _rand(rng, b, lq, heads * dh)
+    bk = _rand(rng, s, b, lk, heads * dh)
+    bv = _rand(rng, s, b, lk, heads * dv)
     mask = jnp.arange(s) < n_valid
 
     ref_out, ref_rec = bank_attention(q, bk, bv, mask, heads,
                                       need_record=True)
-    out, rec = _run_pallas(q, bk, bv, jnp.int32(n_valid), heads)
+    out, rec = _run_pallas(pallas_bank_attention, q, bk, bv,
+                           jnp.int32(n_valid), heads)
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
                                atol=2e-4, rtol=2e-4)
@@ -41,3 +49,110 @@ def test_pallas_bank_attention_matches_xla(heads, dh, dv, lq, lk, n_valid):
     # masses over valid slots sum to 1
     np.testing.assert_allclose(np.asarray(rec).sum(-1), 1.0, atol=1e-4)
     assert np.all(np.asarray(rec)[..., n_valid:] < 1e-6)
+
+
+def test_pallas_bank_attention_full_capacity_and_ragged_lk():
+    """count == S (every slot valid) with Lk not a multiple of the key tile
+    and Lq not a multiple of the query tile."""
+    rng = np.random.RandomState(1)
+    s, b, heads, dh, dv = 9, 1, 2, 64, 64
+    lq, lk = 310, 290  # ragged against the 128-aligned internal tiles
+    q = _rand(rng, b, lq, heads * dh)
+    bk = _rand(rng, s, b, lk, heads * dh)
+    bv = _rand(rng, s, b, lk, heads * dv)
+    mask = jnp.ones((s,), bool)
+    ref_out, ref_rec = bank_attention(q, bk, bv, mask, heads,
+                                      need_record=True)
+    out, rec = _run_pallas(pallas_bank_attention, q, bk, bv, jnp.int32(s),
+                           heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(ref_rec),
+                               atol=2e-5)
+
+
+def test_pallas_bank_attention_bf16_record_accuracy():
+    """bf16 storage: output within bf16 rounding of the fp32 reference; the
+    slot-mass record accumulates in fp32 so it must stay much tighter."""
+    rng = np.random.RandomState(2)
+    s, b, heads, dh, dv, lq, lk = 4, 1, 1, 64, 64, 128, 128
+    qf = _rand(rng, b, lq, heads * dh)
+    bkf = _rand(rng, s, b, lk, heads * dh)
+    bvf = _rand(rng, s, b, lk, heads * dv)
+    mask = jnp.arange(s) < 3
+    ref_out, ref_rec = bank_attention(qf, bkf, bvf, mask, heads,
+                                      need_record=True)
+    out, rec = _run_pallas(
+        pallas_bank_attention, qf.astype(jnp.bfloat16),
+        bkf.astype(jnp.bfloat16), bvf.astype(jnp.bfloat16),
+        jnp.int32(3), heads)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref_out), atol=0.05, rtol=0.05)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(ref_rec),
+                               atol=5e-3)
+
+
+@pytest.mark.parametrize("heads,n_valid,lq,lk", [
+    (1, 3, 130, 120),
+    (2, 1, 128, 128),
+    (2, 4, 150, 97),
+])
+def test_pallas_bank_attention_grad_matches_xla(heads, n_valid, lq, lk):
+    """Gradient parity of the custom VJP vs jax.grad through the XLA einsum
+    path, including gradient flow through the slot-mass record output."""
+    rng = np.random.RandomState(3)
+    s, b, dh, dv = 4, 1, 32, 32
+    q = _rand(rng, b, lq, heads * dh)
+    bk = _rand(rng, s, b, lk, heads * dh)
+    bv = _rand(rng, s, b, lk, heads * dv)
+    mask = jnp.arange(s) < n_valid
+    w_out = _rand(rng, b, lq, heads * dv)
+    w_rec = _rand(rng, b, lq, s)
+
+    def loss_ref(q, bk, bv):
+        out, rec = bank_attention(q, bk, bv, mask, heads, need_record=True)
+        return jnp.sum(out * w_out) + jnp.sum(rec * w_rec)
+
+    def loss_pl(q, bk, bv):
+        out, rec = pallas_bank_attention(q, bk, bv, jnp.int32(n_valid),
+                                         heads)
+        return jnp.sum(out * w_out) + jnp.sum(rec * w_rec)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, bk, bv)
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, bk, bv)
+
+    for name, a, r in zip(("dq", "dk", "dv"), g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=3e-4, rtol=3e-4, err_msg=name)
+    # gradients into invalid slots are exactly zero on both paths
+    assert np.all(np.asarray(g_pl[1])[n_valid:] == 0)
+    assert np.all(np.asarray(g_pl[2])[n_valid:] == 0)
+
+
+def test_pallas_bank_attention_grad_out_only():
+    """drec == 0 (training uses FIFO eviction, the record is unused):
+    gradients must still match the XLA path."""
+    rng = np.random.RandomState(4)
+    s, b, heads, dh, dv, lq, lk = 3, 2, 2, 32, 32, 140, 130
+    q = _rand(rng, b, lq, heads * dh)
+    bk = _rand(rng, s, b, lk, heads * dh)
+    bv = _rand(rng, s, b, lk, heads * dv)
+    mask = jnp.ones((s,), bool)
+    w_out = _rand(rng, b, lq, heads * dv)
+
+    def loss_ref(q, bk, bv):
+        out, _ = bank_attention(q, bk, bv, mask, heads, need_record=False)
+        return jnp.sum(out * w_out)
+
+    def loss_pl(q, bk, bv):
+        out, _ = pallas_bank_attention(q, bk, bv, jnp.int32(s), heads)
+        return jnp.sum(out * w_out)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, bk, bv)
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, bk, bv)
+    for name, a, r in zip(("dq", "dk", "dv"), g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=3e-4, rtol=3e-4, err_msg=name)
