@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rmem_tpu.config import Config
-from rmem_tpu.data.train_datasets import BatchLoader, build_train_dataset
+from rmem_tpu.data.train_datasets import make_batch_loader, build_train_dataset
 from rmem_tpu.engine.train_state import (TrainState, make_optimizer,
                                          make_train_step)
 from rmem_tpu.models import build_vos_model, init_params
@@ -69,9 +69,10 @@ class Trainer:
                 self.log(f"auto-resumed from {path} (step {step})")
 
         dataset = build_train_dataset(cfg, data_root)
-        self.loader = BatchLoader(dataset, cfg.train_batch_size,
-                                  max_obj=cfg.model_max_obj_num,
-                                  num_threads=min(cfg.data_workers, 4))
+        self.loader = make_batch_loader(
+            dataset, cfg.train_batch_size, max_obj=cfg.model_max_obj_num,
+            num_workers=min(cfg.data_workers, 4),
+            use_processes=cfg.data_loader_processes)
 
     def train(self, max_steps: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg

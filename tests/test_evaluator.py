@@ -206,3 +206,40 @@ def test_evaluator_deterministic_probes(tmp_path):
         probes.append(np.stack(ev.probes))
     np.testing.assert_array_equal(probes[0], probes[1])
     assert probes[0].shape == (3, 7)
+
+
+@pytest.mark.parametrize("frames,expect_count", [
+    # first+last annotated frames are dropped (evaluation.py:84); J_tr takes
+    # j[floor(0.75*N):] of the remaining N — pin the reference's exact
+    # short/odd-length behavior (VERDICT r1 weak #6)
+    (3, 1),   # N=1, floor(0.75)=0 -> 1 frame
+    (4, 1),   # N=2, floor(1.5)=1 -> 1 frame
+    (5, 1),   # N=3, floor(2.25)=2 -> 1 frame
+    (6, 1),   # N=4, floor(3)=3   -> 1 frame
+    (7, 2),   # N=5, floor(3.75)=3 -> 2 frames
+])
+def test_j_tr_short_sequence_slicing(tmp_path, frames, expect_count):
+    root = str(tmp_path / "ds")
+    _make_gt(root, seqs=("a",), frames=frames)
+    res = str(tmp_path / "res")
+    # predictions: perfect on the LAST evaluated frame(s) only, object-2
+    # erased elsewhere, so J_tr == 100 exactly when the J_tr window contains
+    # only frames we predicted perfectly
+    n_eval = frames - 2
+    last_q = int(np.floor(n_eval * 0.75))
+    for i in range(frames):
+        gt = np.asarray(Image.open(os.path.join(
+            root, "Annotations", "a", f"{i:05d}.png")), np.uint8)
+        pred = np.where(gt == 255, 0, gt)
+        eval_idx = i - 1  # position within the evaluated window
+        if not (0 <= eval_idx < n_eval and eval_idx >= last_q):
+            pred = np.where(pred == 2, 0, pred)
+        _write_mask(os.path.join(res, "a", f"{i:05d}.png"), pred)
+    ev = Evaluation(root, "val")
+    g = ev.evaluate(res, metric=("J", "J_last"))
+    j_tr_obj2 = g["J_last"]["M"][1] * 100
+    assert j_tr_obj2 == pytest.approx(100.0)
+    # and J over all frames is NOT 100 for obj 2 unless every frame was kept
+    j_obj2 = g["J"]["M"][1] * 100
+    if n_eval - last_q < n_eval:
+        assert j_obj2 < 100.0

@@ -169,3 +169,64 @@ def test_train_forward_var_loss():
                  + metrics["pred_loss"])
     assert float(loss) == pytest.approx(
         base + 0.01 * float(metrics["var_loss"]), rel=1e-5)
+
+
+def test_train_grad_pallas_matches_xla():
+    """Training loss + gradients through the fused Pallas bank-attention
+    custom VJP (interpret mode) match the XLA einsum path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = _batch(1, 4)
+
+    def loss_and_grads(use_pallas):
+        # train_remat="none": interpret-mode pallas_call carries an IO
+        # effect that jax.checkpoint cannot partial-eval (real-TPU lowering
+        # has no such effect, so remat works on chip)
+        cfg = get_config("test", model="tiny_aotl", train_total_steps=100,
+                         train_long_term_mem_gap=1, latter_mem_len=1,
+                         use_pallas_bank_attention_train=use_pallas,
+                         train_remat="none", compute_dtype="float32")
+        model = build_vos_model(cfg.model_vos, cfg)
+        params = init_params(model, jax.random.PRNGKey(0), HW)
+
+        def loss_fn(p):
+            loss, _ = train_forward(
+                model, p, batch["imgs"], batch["labels"],
+                batch["obj_nums"], jnp.float32(0), None,
+                jnp.asarray(False), cfg)
+            return loss
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    l_ref, g_ref = loss_and_grads(False)
+    with pltpu.force_tpu_interpret_mode():
+        l_pl, g_pl = loss_and_grads(True)
+
+    np.testing.assert_allclose(float(l_pl), float(l_ref), rtol=2e-4)
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(g_pl))
+    worst = 0.0
+    for path, leaf_r in flat_r:
+        leaf_p = flat_p[path]
+        denom = np.abs(np.asarray(leaf_r)).max() + 1e-6
+        rel = np.abs(np.asarray(leaf_p) - np.asarray(leaf_r)).max() / denom
+        worst = max(worst, rel)
+        assert rel < 5e-3, (jax.tree_util.keystr(path), rel)
+
+
+def test_process_batch_loader():
+    """Subprocess loader: decode/augment off the GIL, same batch contract."""
+    from rmem_tpu.data.train_datasets import (ProcessBatchLoader,
+                                              SyntheticTrainDataset)
+
+    ds = SyntheticTrainDataset(seq_len=3, hw=HW)
+    loader = ProcessBatchLoader(ds, batch_size=2, num_workers=2, prefetch=2)
+    try:
+        for _ in range(3):
+            b = next(loader)
+            assert b["imgs"].shape == (2, 3, *HW, 3)
+            assert b["labels"].shape == (2, 3, *HW)
+            assert b["obj_nums"].shape == (2,)
+            assert np.isfinite(b["imgs"]).all()
+    finally:
+        loader.close()
