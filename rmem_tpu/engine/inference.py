@@ -90,7 +90,7 @@ class InferenceEngine:
         self.params = params
         self.cfg = cfg
         self.need_record = need_record and not cfg.no_long_memory
-        # fused Pallas bank attention (inference only; no VJP)
+        # fused Pallas bank attention (custom flash-style VJP for training)
         self.use_pallas = (cfg.use_pallas_bank_attention
                            and _jax.default_backend() != "cpu")
         donate_args = (1,) if donate else ()

@@ -49,6 +49,13 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
     traced. Returns (loss, metrics)."""
     apply = lambda method, *a, **k: model.apply({"params": params}, *a,
                                                 method=method, **k)
+    # fused Pallas bank attention fwd+bwd (flash-style custom VJP): on TPU
+    # this nearly halves the batch-4 step time (benchmarks/train_bench.py);
+    # the CPU backend would need interpret mode, so fall back to XLA there
+    # ("force" bypasses the backend check for interpret-mode tests)
+    use_pallas = (cfg.use_pallas_bank_attention_train == "force"
+                  or (cfg.use_pallas_bank_attention_train is True
+                      and jax.default_backend() != "cpu"))
     b, t = imgs.shape[:2]
     hw_in = imgs.shape[2:4]
     deterministic = dp_rng is None
@@ -145,8 +152,7 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
         inter, _, _ = apply(type(model).lstt_forward,
                             xs_frames0_feat, bank_tuple, rmask, first_short,
                             None, self_pos, cur_pe, slot_pe, (eh, ew), False,
-                            deterministic, dp_rng,
-                            cfg.use_pallas_bank_attention_train)
+                            deterministic, dp_rng, use_pallas)
         _, loss = decode(inter, xs0, labels[:, 0])
         return cfg.reverse_loss * loss
 
@@ -179,8 +185,7 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
         inter, mems, _ = apply(type(model).lstt_forward, feat, bank_tuple,
                                valid_slot_mask(bank), short, None, self_pos,
                                cur_pe, slot_pe, (eh, ew), False,
-                               deterministic, dp_rng,
-                               cfg.use_pallas_bank_attention_train)
+                               deterministic, dp_rng, use_pallas)
         logits_full, loss = decode(inter, xs_f, label_f)
 
         # memory write for THIS frame (aot_engine.py:91-99,327-336):

@@ -184,7 +184,7 @@ def test_train_grad_pallas_matches_xla():
         # has no such effect, so remat works on chip)
         cfg = get_config("test", model="tiny_aotl", train_total_steps=100,
                          train_long_term_mem_gap=1, latter_mem_len=1,
-                         use_pallas_bank_attention_train=use_pallas,
+                         use_pallas_bank_attention_train=("force" if use_pallas else False),
                          train_remat="none", compute_dtype="float32")
         model = build_vos_model(cfg.model_vos, cfg)
         params = init_params(model, jax.random.PRNGKey(0), HW)
