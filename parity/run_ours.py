@@ -26,6 +26,10 @@ def main() -> None:
     ap.add_argument("--former", type=int, default=1)
     ap.add_argument("--latter", type=int, default=4)
     ap.add_argument("--out", default="/tmp/parity/ours_probes.npz")
+    ap.add_argument("--no_probe", action="store_true",
+                    help="run the PRODUCTION fused path (chunked scan + "
+                         "device-side prep) instead of the probe harness; "
+                         "emits PNGs only")
     args = ap.parse_args()
 
     import jax
@@ -53,9 +57,12 @@ def main() -> None:
                 os.symlink(src, dst)
 
     evaluator = Evaluator(cfg, data_root=args.data, output_root=args.output,
-                          probe=True)
+                          probe=not args.no_probe)
     stats = evaluator.evaluate(shard_across_hosts=False)
     print(stats)
+    if args.no_probe:
+        print(f"production-path PNGs written to {args.output}")
+        return
 
     # split the flat probe list back into per-sequence stacks
     n_seqs = len(evaluator.dataset)

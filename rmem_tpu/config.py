@@ -162,13 +162,27 @@ class Config:
     compute_dtype: str = "bfloat16"      # activations dtype under jit
     param_dtype: str = "float32"
     use_pallas_bank_attention: bool = True
+    # frames per eval dispatch on unlabeled stretches: one lax.scan chunk
+    # amortizes the per-dispatch host/tunnel latency across K frames
+    # (ROUND_NOTES: ~120 ms RTT on the tunneled backend). The last partial
+    # chunk is padded with repeats of the final frame (state is per-sequence
+    # so the extra updates are discarded with it).
+    eval_scan_chunk: int = 16
+    # upload raw uint8 frames and run cubic resize + ImageNet normalization
+    # on device (ops/resize.py:resize_cubic matches cv2 INTER_CUBIC to fp32
+    # noise): 4x less H2D traffic and no per-frame host resize. Float-frame
+    # synthetic datasets (determinism probes) auto-fall-back to host prep.
+    eval_device_prep: bool = True
     # training fwd+bwd through the fused kernel (flash-style custom VJP,
     # kernels/bank_attention.py): 1.9x faster batch-4 train step on chip
     # (benchmarks/train_bench.py). Auto-falls-back to the XLA path on the
     # CPU backend (interpret mode would be needed there).
     use_pallas_bank_attention_train: bool = True
-    # frame-scan remat policy: "full" | "dots" (save matmul outputs) | "none"
-    train_remat: str = "full"
+    # frame-scan remat policy: "full" | "dots" (save matmul outputs) |
+    # "none". dots is fastest wherever it fits in HBM (1.52 vs 1.94 s/it at
+    # batch 1, 5.58 vs 6.00 at batch 4, benchmarks/train_bench.py); drop to
+    # "full" for memory-limited configs.
+    train_remat: str = "dots"
     mesh_shape: Tuple[int, ...] = (1,)   # data-parallel axis sizes
     mesh_axes: Tuple[str, ...] = ("data",)
 

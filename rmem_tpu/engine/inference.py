@@ -93,6 +93,7 @@ class InferenceEngine:
         # fused Pallas bank attention (custom flash-style VJP for training)
         self.use_pallas = (cfg.use_pallas_bank_attention
                            and _jax.default_backend() != "cpu")
+        self._donate = donate
         donate_args = (1,) if donate else ()
         self._add_ref = jax.jit(self._add_reference_impl)
         self._propagate = jax.jit(self._propagate_impl,
@@ -368,6 +369,62 @@ class InferenceEngine:
     def scan_steps(self, state: EngineState, imgs, out_hw: Tuple[int, int]):
         """Process a [K, B, H, W, 3] frame chunk in one dispatch."""
         return self._scan(self.params, state, imgs, out_hw=out_hw)
+
+    # -- raw-frame chunked scan (device-side preprocessing) ---------------
+    def _prep_impl(self, raw, in_hw, flip):
+        """[K, H0, W0, 3] uint8 -> [K, 1, h, w, 3] normalized float32:
+        cast, cv2-exact cubic resize, ImageNet normalize, optional flip —
+        all on device. Uploading raw uint8 instead of resized float32 cuts
+        host->device traffic 4x (and the bytes compress far better on
+        tunneled transports); the resize runs on the VPU instead of the
+        host core (managers/evaluator.py _prep_frame is the host twin)."""
+        from rmem_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+        from rmem_tpu.ops.resize import resize_cubic
+
+        x = resize_cubic(raw.astype(jnp.float32), in_hw)
+        mean = jnp.asarray(IMAGENET_MEAN) * 255.0
+        std = jnp.asarray(IMAGENET_STD) * 255.0
+        x = (x - mean) / std
+        if flip:
+            x = x[:, :, ::-1]
+        return x[:, None]
+
+    def _scan_raw_impl(self, params, state: EngineState, raw, in_hw,
+                       out_hw, flip):
+        imgs = self._prep_impl(raw, in_hw, flip)
+        state, labels = self._scan_impl(params, state, imgs, out_hw)
+        return state, labels.astype(jnp.uint8)  # 4x smaller D2H
+
+    def scan_steps_raw(self, state: EngineState, raw_u8,
+                       in_hw: Tuple[int, int], out_hw: Tuple[int, int],
+                       flip: bool = False):
+        """Single-aug chunk from RAW [K, H0, W0, 3] uint8 frames."""
+        if not hasattr(self, "_scan_raw"):
+            donate = (1,) if self._donate else ()
+            self._scan_raw = jax.jit(
+                self._scan_raw_impl, donate_argnums=donate,
+                static_argnames=("in_hw", "out_hw", "flip"))
+        return self._scan_raw(self.params, state, raw_u8, in_hw=in_hw,
+                              out_hw=out_hw, flip=flip)
+
+    def _multi_scan_raw_impl(self, params, states, raw, in_hws, out_hw,
+                             flips):
+        imgs = tuple(self._prep_impl(raw, in_hw, flip)
+                     for in_hw, flip in zip(in_hws, flips))
+        states, labels = self._multi_scan_impl(params, states, imgs, out_hw,
+                                               flips)
+        return states, labels.astype(jnp.uint8)
+
+    def scan_steps_multi_raw(self, states, raw_u8, in_hws, out_hw, flips):
+        """Multi-aug chunk from ONE raw uint8 upload: every (scale, flip)
+        aug resizes from the same frames on device."""
+        if not hasattr(self, "_multi_scan_raw"):
+            self._multi_scan_raw = jax.jit(
+                self._multi_scan_raw_impl, donate_argnums=(1,),
+                static_argnames=("in_hws", "out_hw", "flips"))
+        return self._multi_scan_raw(self.params, tuple(states), raw_u8,
+                                    in_hws=tuple(in_hws), out_hw=out_hw,
+                                    flips=tuple(flips))
 
     def _enc_hw(self, state: EngineState) -> Tuple[int, int]:
         """16x grid dims from the (static) 4x logits shape."""

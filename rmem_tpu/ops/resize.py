@@ -155,3 +155,50 @@ def resize_nearest(x: jnp.ndarray, out_hw, channel_last: bool = True
         iy = jnp.asarray(_nearest_idx_np(H, h))
         ix = jnp.asarray(_nearest_idx_np(W, w))
         return x[:, :, iy][:, :, :, ix]
+
+
+@functools.lru_cache(maxsize=256)
+def _cubic_idx_np(n_out: int, n_in: int):
+    """cv2 INTER_CUBIC sampling grid: src = (i+0.5)*in/out - 0.5, 4 taps at
+    floor(src)-1..+2 with replicate-clamped indices, Catmull-Rom-style
+    weights with A=-0.75 (cv2 interpolateCubic)."""
+    pos = (np.arange(n_out, dtype=np.float64) + 0.5) * n_in / n_out - 0.5
+    i0 = np.floor(pos).astype(np.int64)
+    t = (pos - i0).astype(np.float32)
+    A = -0.75
+    w0 = ((A * (t + 1) - 5 * A) * (t + 1) + 8 * A) * (t + 1) - 4 * A
+    w1 = ((A + 2) * t - (A + 3)) * t * t + 1
+    w2 = ((A + 2) * (1 - t) - (A + 3)) * (1 - t) * (1 - t) + 1
+    w3 = 1.0 - w0 - w1 - w2
+    idx = np.stack([np.clip(i0 + k, 0, n_in - 1) for k in (-1, 0, 1, 2)])
+    wts = np.stack([w0, w1, w2, w3]).astype(np.float32)
+    return idx, wts
+
+
+def _cubic_axis(x: jnp.ndarray, n_out: int, axis: int) -> jnp.ndarray:
+    n_in = x.shape[axis]
+    if n_in == n_out:
+        return x
+    idx, wts = _cubic_idx_np(n_out, n_in)
+    shape = [1] * x.ndim
+    shape[axis] = n_out
+    out = 0.0
+    for k in range(4):
+        out = out + jnp.take(x, jnp.asarray(idx[k]), axis=axis) \
+            * jnp.asarray(wts[k]).reshape(shape)
+    return out
+
+
+def resize_cubic(x: jnp.ndarray, out_hw, channel_last: bool = True
+                 ) -> jnp.ndarray:
+    """Device-side cv2.resize(..., INTER_CUBIC) for float images: separable
+    rows-then-cols 4-tap pass matching cv2's float path (A=-0.75, replicate
+    border). Lets the evaluator upload raw uint8 frames and resize/normalize
+    on the accelerator (4x less host->device traffic, and the resize runs on
+    the VPU instead of the 1-core host)."""
+    H, W = out_hw
+    axes = (-3, -2) if channel_last else (-2, -1)
+    y = x.astype(jnp.float32)
+    y = _cubic_axis(y, H, axes[0] % x.ndim)
+    y = _cubic_axis(y, W, axes[1] % x.ndim)
+    return y

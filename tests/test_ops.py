@@ -159,3 +159,20 @@ def test_mask_unused_ids():
     assert float(out[0, 0, 0, 2]) == 0.0
     assert float(out[0, 0, 0, 3]) == -1e10
     assert float(out[1, 0, 0, 10]) == 0.0
+
+
+def test_resize_cubic_matches_cv2():
+    """Device-side cubic resize == cv2.resize INTER_CUBIC float path
+    (A=-0.75, replicate border, (i+0.5)*scale-0.5 grid)."""
+    import cv2
+    from rmem_tpu.ops.resize import resize_cubic
+
+    rng = np.random.RandomState(0)
+    for (h0, w0), (h1, w1) in (((480, 854), (481, 849)),
+                               ((100, 80), (50, 40)),
+                               ((50, 40), (100, 81)),
+                               ((33, 33), (33, 33))):
+        img = rng.rand(h0, w0, 3).astype(np.float32) * 255
+        want = cv2.resize(img, (w1, h1), interpolation=cv2.INTER_CUBIC)
+        got = np.asarray(resize_cubic(jnp.asarray(img[None]), (h1, w1))[0])
+        np.testing.assert_allclose(got, want, atol=5e-4)
