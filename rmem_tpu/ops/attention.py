@@ -250,7 +250,10 @@ def tiled_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         rel_emb = r[..., lo:hi, lo:hi].reshape(b, hw, num_heads * win * win)
     scale = scale if scale is not None else dh ** -0.5
 
-    T = tile or max(2 * m + 2, 8)
+    # tile sweep on-chip at 31x54/m=7 (ROUND_NOTES r2): T=8 -> 109 FPS,
+    # T=16 -> 102, T=24 -> 64. Small tiles waste fewer halo FLOPs
+    # ((T+2m)^2 keys per query); 8 sublanes is still MXU-friendly.
+    T = tile or 8
     ty, tx = -(-h2d // T), -(-w2d // T)
     hp, wp = ty * T - h2d, tx * T - w2d
     halo = T + 2 * m
