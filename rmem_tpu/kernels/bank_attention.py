@@ -409,7 +409,7 @@ _bank_attention.defvjp(_bank_attention_fwd, _bank_attention_bwd)
 def pallas_bank_attention(q: jnp.ndarray, bank_k: jnp.ndarray,
                           bank_v: jnp.ndarray, count: jnp.ndarray,
                           num_heads: int, scale: Optional[float] = None,
-                          tile_q: int = 256, tile_k: int = 512
+                          tile_q: int = 256, tile_k: int = 2048
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Same contract as ops.attention.bank_attention but fused, and
     differentiable (flash-style Pallas backward, incl. gradient flow
@@ -418,6 +418,11 @@ def pallas_bank_attention(q: jnp.ndarray, bank_k: jnp.ndarray,
     q: [B, Lq, h*dh]; bank_k: [S, B, Lk, h*dh]; bank_v: [S, B, Lk, h*dv];
     count: scalar int32 (valid slots). Returns (out [B, Lq, h*dv],
     record [B, Lq, S] head-averaged slot mass).
+
+    tile_k defaults high so each slot is ONE kv chunk when it fits VMEM
+    (the internal tile clamps to round_up(Lk, 128)): at the 1674-token eval
+    grid, 512-key chunks pad Lk to 2048 (18% wasted MXU work) — on-chip
+    sweep: tk=2048 -> 115.7 FPS vs tk=512 -> 109.4 on the 480p bench.
     """
     dh = q.shape[-1] // num_heads
     scale = scale if scale is not None else dh ** -0.5
