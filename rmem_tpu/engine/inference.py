@@ -221,42 +221,49 @@ class InferenceEngine:
             jnp.asarray(not cfg.no_long_memory),
             state.frame_step - state.last_mem_step >= state.gap)
 
-        appended = bank_append(state.bank, lk, lv, liv)
-        record, fg = None, None
-        if self.need_record and state.record is not None:
-            # fg prob at encoder resolution (aot_engine.py:355-362)
-            b_, hw = lk.shape[1], lk.shape[2]
-            up = resize_bilinear(state.logits4x, self._enc_hw(state),
-                                 cfg.model_align_corners)
-            prob = jax.nn.softmax(up.astype(jnp.float32), axis=-1)
-            record, fg = state.record, (1.0 - prob[..., 0]).reshape(b_, hw)
+        # the whole long-memory write (append + scored eviction + bank
+        # compaction) runs under lax.cond: it touches the full bank
+        # (hundreds of MB of HBM traffic) but fires only every `gap` frames
+        # — a masked-select formulation would pay it EVERY frame
+        def no_write(_):
+            return state.bank, state.gru_hid_k, state.gru_hid_v
 
-        ghk, ghv = state.gru_hid_k, state.gru_hid_v
-        if cfg.gru_memory_active:
-            eh, ew = self._enc_hw(state)
+        def write(_):
+            appended = bank_append(state.bank, lk, lv, liv)
+            record, fg = None, None
+            if self.need_record and state.record is not None:
+                # fg prob at encoder resolution (aot_engine.py:355-362)
+                b_, hw = lk.shape[1], lk.shape[2]
+                up = resize_bilinear(state.logits4x, self._enc_hw(state),
+                                     cfg.model_align_corners)
+                prob = jax.nn.softmax(up.astype(jnp.float32), axis=-1)
+                record = state.record
+                fg = (1.0 - prob[..., 0]).reshape(b_, hw)
 
-            def compress_fn(ks, vs, hk, hv):
-                return self.model.apply(
-                    {"params": params}, ks, vs, hk, hv, (eh, ew),
-                    method=lambda m, *a: m.lstt.compress_evicted(*a))
+            if cfg.gru_memory_active:
+                eh, ew = self._enc_hw(state)
 
-            evicted, nhk, nhv = evict_if_full_gru(
-                appended, cfg.former_mem_len, cfg.latter_mem_len,
-                compress_fn, ghk, ghv, record, fg,
-                use_attn_weight=record is not None)
-            ghk = jnp.where(do_long, nhk, ghk)
-            ghv = jnp.where(do_long, nhv, ghv)
-        elif record is not None:
-            evicted = evict_if_full(appended, cfg.former_mem_len,
-                                    cfg.latter_mem_len, record, fg,
-                                    use_attn_weight=True)
-        else:
-            evicted = evict_if_full(appended, cfg.former_mem_len,
-                                    cfg.latter_mem_len,
-                                    use_attn_weight=False)
+                def compress_fn(ks, vs, hk, hv):
+                    return self.model.apply(
+                        {"params": params}, ks, vs, hk, hv, (eh, ew),
+                        method=lambda m, *a: m.lstt.compress_evicted(*a))
 
-        new_bank = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(do_long, a, b), evicted, state.bank)
+                evicted, nhk, nhv = evict_if_full_gru(
+                    appended, cfg.former_mem_len, cfg.latter_mem_len,
+                    compress_fn, state.gru_hid_k, state.gru_hid_v,
+                    record, fg, use_attn_weight=record is not None)
+                return evicted, nhk, nhv
+            if record is not None:
+                evicted = evict_if_full(appended, cfg.former_mem_len,
+                                        cfg.latter_mem_len, record, fg,
+                                        use_attn_weight=True)
+            else:
+                evicted = evict_if_full(appended, cfg.former_mem_len,
+                                        cfg.latter_mem_len,
+                                        use_attn_weight=False)
+            return evicted, state.gru_hid_k, state.gru_hid_v
+
+        new_bank, ghk, ghv = jax.lax.cond(do_long, write, no_write, None)
         return state.replace(
             bank=new_bank,
             short_k=sk, short_v=sv, short_id_v=siv,
