@@ -42,7 +42,7 @@ def measure(model_name, batch, seq, remat, use_pallas, steps, cfgkw):
     cfg = get_config("pre_vost_2", model=model_name, data_seq_len=seq,
                      train_batch_size=batch, train_remat=remat,
                      use_pallas_bank_attention_train=bool(use_pallas),
-                     **cfgkw)
+                     dwconv_unrolled=False, **cfgkw)
     model = build_vos_model(cfg.model_vos, cfg)
     params = init_params(model, jax.random.PRNGKey(0), HW)
     tx = make_optimizer(params, cfg)

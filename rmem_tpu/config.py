@@ -178,6 +178,10 @@ class Config:
     # (benchmarks/train_bench.py). Auto-falls-back to the XLA path on the
     # CPU backend (interpret mode would be needed there).
     use_pallas_bank_attention_train: bool = True
+    # depthwise-conv formulation: unrolled 25 shift-adds (fast inference)
+    # vs grouped conv (smaller training graph). The trainer overrides this
+    # to False when building its model; params are interchangeable.
+    dwconv_unrolled: bool = True
     # frame-scan remat policy: "full" | "dots" (save matmul outputs) |
     # "none". dots is fastest wherever it fits in HBM (1.52 vs 1.94 s/it at
     # batch 1, 5.58 vs 6.00 at batch 4, benchmarks/train_bench.py); drop to

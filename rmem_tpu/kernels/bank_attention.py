@@ -309,6 +309,12 @@ def _bank_attention_fwd(q, bank_k, bank_v, count, num_heads, scale,
 def _bank_attention_bwd(num_heads, scale, tile_q, tile_k, res, cts):
     q, bank_k, bank_v, count, out_bh, rec_bh, lse = res
     dout, drec = cts
+    # the backward kernels carry much larger per-block state than the
+    # forward (dk [TK,dh] + dv [TK,dv] fp32 scratch plus the double-buffered
+    # in/out blocks), so the forward's one-chunk-per-slot tile_k would blow
+    # VMEM (observed: Mosaic compile failures / spills at dv=1024). Cap the
+    # bwd key tile; the saved out/rec/lse layouts only depend on tile_q.
+    tile_k = min(tile_k, 512)
     qh, kh, vh, geom = _layout(q, bank_k, bank_v, num_heads, tile_q, tile_k)
     s_slots, b, lq, lk, dh, dv, tq, tk, lq_pad, lk_pad = geom
     chunks = lk_pad // tk

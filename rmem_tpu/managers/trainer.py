@@ -36,6 +36,9 @@ from rmem_tpu.utils.checkpoint import (latest_checkpoint, load_pretrained,
 class Trainer:
     def __init__(self, cfg: Config, data_root: Optional[str] = None,
                  log=print):
+        # grouped-conv DWConv for training (the unrolled inference form
+        # bloats the backward graph; params are interchangeable)
+        cfg = cfg.replace(dwconv_unrolled=False)
         self.cfg = cfg
         self.log = log
         self.model = build_vos_model(cfg.model_vos, cfg)

@@ -27,6 +27,7 @@ class DeAOT(AOT):
                    att_heads=cfg.model_att_heads,
                    droppath=cfg.train_lstt_droppath,
                    intermediate_norm=cfg.model_decoder_intermediate_lstt,
+                   unrolled_dw=cfg.dwconv_unrolled,
                    dtype=self.dtype, name="lstt")
 
     def _decoder_indim(self) -> int:

@@ -38,10 +38,12 @@ class GatedTail(nn.Module):
     expand_dim: int
     out_dim: int
     dtype: object = None
+    unrolled_dw: bool = True
 
     def setup(self):
         self.dw_conv = DWConv2d(self.expand_dim, name="dw_conv",
-                                dtype=self.dtype)
+                                dtype=self.dtype,
+                                unrolled=self.unrolled_dw)
         self.projection = nn.Dense(self.out_dim, name="projection",
                                    dtype=self.dtype)
 
@@ -59,6 +61,7 @@ class GatedSelfAttention(nn.Module):
     num_heads: int
     d_att: int         # 128
     dtype: object = None
+    unrolled_dw: bool = True
 
     def setup(self):
         dt = self.dtype
@@ -70,7 +73,7 @@ class GatedSelfAttention(nn.Module):
         self.linear_U1 = nn.Dense(half, name="linear_U1", dtype=dt)
         self.linear_U2 = nn.Dense(half, name="linear_U2", dtype=dt)
         self.tail = GatedTail(2 * self.d_vu, self.d_vu, name="tail",
-                              dtype=dt)
+                              dtype=dt, unrolled_dw=self.unrolled_dw)
 
     def __call__(self, x, size_2d, deterministic=True):
         qk = self.linear_QK(x)
@@ -95,6 +98,7 @@ class GPMBlock(nn.Module):
     droppath: float = 0.1
     expand_ratio: float = 2.0
     dtype: object = None
+    unrolled_dw: bool = True
 
     def setup(self):
         d = self.d_model
@@ -118,17 +122,19 @@ class GPMBlock(nn.Module):
                                         dtype=dt)
 
         self.long_tail = GatedTail(2 * self.expand_d, 2 * d, name="long_tail",
-                                   dtype=dt)
+                                   dtype=dt, unrolled_dw=self.unrolled_dw)
         self.relative_emb_k = nn.Dense(self.att_heads * win2,
                                        name="relative_emb_k", dtype=dt)
         self.short_tail = GatedTail(2 * self.expand_d, 2 * d,
-                                    name="short_tail", dtype=dt)
+                                    name="short_tail", dtype=dt,
+                                    unrolled_dw=self.unrolled_dw)
 
         self.norm2 = layer_norm("norm2")
         self.id_norm2 = layer_norm("id_norm2")
         self.self_attn = GatedSelfAttention(2 * d, self.self_heads,
                                             self.d_att, name="self_attn",
-                                            dtype=dt)
+                                            dtype=dt,
+                                            unrolled_dw=self.unrolled_dw)
 
     def fuse_id_value(self, curr_id_v, id_emb):
         """(transformer.py:1238-1244): layer 0 embeds the id alone; deeper
@@ -219,12 +225,13 @@ class GPM(nn.Module):
     intermediate_norm: bool = False
     final_norm: bool = True
     dtype: object = None
+    unrolled_dw: bool = True
 
     def setup(self):
         self.blocks = [
             GPMBlock(self.d_model, self.self_heads, self.att_heads,
                      layer_idx=i, droppath=self.droppath, dtype=self.dtype,
-                     name=f"block{i}")
+                     unrolled_dw=self.unrolled_dw, name=f"block{i}")
             for i in range(self.num_layers)
         ]
         num_norms = (self.num_layers - 1 if self.intermediate_norm else 0)

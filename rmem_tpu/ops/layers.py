@@ -122,11 +122,17 @@ class _DWKernel5x5(nn.Module):
 
 
 class DWConv2d(nn.Module):
-    """5x5 depthwise conv + dropout on seq input (basic.py:38-57)."""
+    """5x5 depthwise conv + dropout on seq input (basic.py:38-57).
+
+    `unrolled` selects the formulation (identical params/math): the 25
+    shift-add form is ~0.6 ms/frame faster at inference, but its backward
+    graph bloats the training program (slower compile + step), so the
+    trainer builds models with the grouped-conv form."""
 
     indim: int
     dropout: float = 0.1
     dtype: Optional[object] = None
+    unrolled: bool = True
 
     @nn.compact
     def __call__(self, x, size_2d: Tuple[int, int],
@@ -134,7 +140,11 @@ class DWConv2d(nn.Module):
         h, w = size_2d
         b, hw, c = x.shape
         x2 = x.reshape(b, h, w, c)
-        x2 = _DWKernel5x5(self.indim, dtype=self.dtype, name="conv")(x2)
+        if self.unrolled:
+            x2 = _DWKernel5x5(self.indim, dtype=self.dtype, name="conv")(x2)
+        else:
+            x2 = conv(self.indim, 5, bias=False, groups=self.indim,
+                      name="conv", dtype=self.dtype)(x2)
         x2 = x2.reshape(b, hw, c)
         if self.dropout > 0.0 and not deterministic:
             # torch Dropout2d over channels of [B,C,H,W]: per (B, C) mask
