@@ -33,6 +33,41 @@ NUM_OBJECTS = 10
 CHUNK = 30
 N_CHUNKS = 4
 
+# peak dense bf16 FLOP/s per chip (public TPU specs; v2/v3 listed per chip,
+# i.e. both cores). Used for the MFU field; unknown kinds report mfu=null.
+_PEAK_BF16 = {
+    "v2": 46e12, "v3": 123e12, "v4": 275e12,
+    "v5 lite": 197e12, "v5litepod": 197e12, "v5e": 197e12,
+    "v5p": 459e12, "v5": 459e12,
+    "v6 lite": 918e12, "v6e": 918e12, "v6": 918e12,
+}
+
+
+def _chip_peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind.lower()
+    # longest-match so "v5 lite" wins over "v5"
+    best = None
+    for k, v in _PEAK_BF16.items():
+        if k in kind and (best is None or len(k) > len(best[0])):
+            best = (k, v)
+    return best[1] if best else None
+
+
+def _flops_per_frame(engine, state, chunk) -> float | None:
+    """Analytic FLOPs of one fused frame step, from XLA's cost analysis of
+    the compiled CHUNK-frame scan (counts the optimized HLO's matmul+vector
+    FLOPs; divided by CHUNK). Same executable as the timed loop, so the
+    count matches what actually ran."""
+    try:
+        compiled = engine._scan.lower(engine.params, state, chunk,
+                                      out_hw=HW).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"]) / CHUNK
+    except Exception:
+        return None
+
 
 def main():
     from rmem_tpu.utils import enable_compilation_cache
@@ -56,6 +91,10 @@ def main():
 
     chunk = jnp.asarray(rng.rand(CHUNK, 1, *HW, 3), jnp.float32)
 
+    # FLOP count from the same executable the timed loop runs (before the
+    # timing loop: state buffers are donated inside it)
+    flops_frame = _flops_per_frame(engine, state, chunk)
+
     # warmup: compile + fill the bank to steady state; hard host sync
     state, labels = engine.scan_steps(state, chunk, HW)
     _ = np.asarray(labels[-1])
@@ -67,11 +106,16 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = (CHUNK * N_CHUNKS) / dt
+    peak = _chip_peak_flops()
+    mfu = (round(flops_frame * fps / peak, 4)
+           if flops_frame and peak else None)
     print(json.dumps({
         "metric": "480p_multiobj_deaotl_rmem_inference",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "mfu": mfu,
+        "flops_per_frame": flops_frame,
     }))
 
 

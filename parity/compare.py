@@ -44,13 +44,16 @@ def main() -> None:
     ap.add_argument("--tag", default="run")
     args = ap.parse_args()
 
-    ref = np.load(args.ref)
-    ours = np.load(args.ours)
+    # mask-only comparisons (e.g. the fused multi-aug production path emits
+    # no probes) may run without npz files
+    have_probes = os.path.isfile(args.ref) and os.path.isfile(args.ours)
+    ref = np.load(args.ref) if have_probes else None
+    ours = np.load(args.ours) if have_probes else None
     c = args.obj_num + 1
 
     lines = [f"### {args.tag}", ""]
     worst = 0.0
-    for k in sorted(ref.files):
+    for k in sorted(ref.files if have_probes else []):
         r, o = ref[k], ours[k]
         n = min(len(r), len(o))
         cm = min(r.shape[1], o.shape[1], c)

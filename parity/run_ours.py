@@ -30,6 +30,10 @@ def main() -> None:
                     help="run the PRODUCTION fused path (chunked scan + "
                          "device-side prep) instead of the probe harness; "
                          "emits PNGs only")
+    ap.add_argument("--ms", nargs="+", type=float, default=[1.0],
+                    help="multi-scale factors (test_multiscale)")
+    ap.add_argument("--flip", action="store_true",
+                    help="add flip augmentation (test_flip)")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +49,8 @@ def main() -> None:
     cfg = get_config(args.stage, "parity", args.model,
                      former_mem_len=args.former, latter_mem_len=args.latter,
                      test_dataset="vost", test_dataset_split="val",
-                     test_ckpt_path=args.ckpt, compute_dtype="float32")
+                     test_ckpt_path=args.ckpt, compute_dtype="float32",
+                     test_multiscale=tuple(args.ms), test_flip=args.flip)
 
     # our VOSTestDataset roots at <data_root>/VOST
     os.makedirs(os.path.join(args.data, "VOST"), exist_ok=True)

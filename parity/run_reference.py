@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--former", type=int, default=1)
     ap.add_argument("--latter", type=int, default=4)
     ap.add_argument("--out", default="/tmp/parity/ref_probes.npz")
+    ap.add_argument("--ms", nargs="+", type=float, default=[1.0],
+                    help="multi-scale factors (reference TEST_MULTISCALE)")
+    ap.add_argument("--flip", action="store_true",
+                    help="add flip augmentation (reference TEST_FLIP)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -50,8 +54,8 @@ def main() -> None:
     cfg.DIR_VOST = args.data
     cfg.TEST_CKPT_PATH = args.ckpt
     cfg.TEST_WORKERS = 0
-    cfg.TEST_MULTISCALE = [1.0]
-    cfg.TEST_FLIP = False
+    cfg.TEST_MULTISCALE = list(args.ms)
+    cfg.TEST_FLIP = bool(args.flip)
     cfg.TEST_EMA = False
     cfg.FORMER_MEM_LEN = args.former
     cfg.LATTER_MEM_LEN = args.latter

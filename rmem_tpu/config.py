@@ -76,7 +76,7 @@ class Config:
     # ---- data ----
     datasets: Tuple[str, ...] = ("youtubevos",)
     data_workers: int = 8
-    # decode/augment in forked subprocesses instead of GIL-bound threads
+    # decode/augment in spawned subprocesses instead of GIL-bound threads
     data_loader_processes: bool = True
     data_randomcrop: Tuple[int, int] = (465, 465)
     data_randomflip: float = 0.5
@@ -318,6 +318,15 @@ MODEL_PRESETS: Dict[str, Dict[str, Any]] = {
         model_vos="deaot", model_engine="deaotengine",
         model_self_heads=1, model_att_heads=1,
         model_decoder_intermediate_lstt=False),
+    # configs/models/r101_aotl.py (fixed MODEL_NAME, no RMem-flag suffixes)
+    "r101_aotl": _r50_common(model_vos="aot", model_engine="aotengine",
+                             model_encoder="resnet101",
+                             model_name="R101_AOTL"),
+    # configs/models/rs101_aotl.py (ResNeSt-101; the reference keeps
+    # MODEL_NAME = 'R101_AOTL' for it too, rs101_aotl.py:7 — mirrored)
+    "rs101_aotl": _r50_common(model_vos="aot", model_engine="aotengine",
+                              model_encoder="resnest101",
+                              model_name="R101_AOTL"),
 }
 
 
@@ -332,6 +341,13 @@ STAGE_PRESETS: Dict[str, Dict[str, Any]] = {
     "pre_ytb_dav": dict(datasets=("youtubevos", "davis2017"), data_seq_len=5,
                         pretrain_full=True),
     "ytb": dict(datasets=("youtubevos",), data_seq_len=5, pretrain_full=True),
+    # pre_ytb.py:8-22: YTB fine-tune from the static-image PRE stage
+    "pre_ytb": dict(datasets=("youtubevos",), data_seq_len=10,
+                    train_long_term_mem_gap=4, train_total_steps=80_000,
+                    model_linear_q=True, pretrain_full=True),
+    # pre_dav.py:8-22: DAVIS fine-tune from the static-image PRE stage
+    "pre_dav": dict(datasets=("davis2017",), train_total_steps=50_000,
+                    pretrain_full=True),
     # pre_vost.py:8-26
     "pre_vost": dict(datasets=("vost",), train_total_steps=20_000,
                      data_seq_len=15, train_long_term_mem_gap=4,
@@ -342,6 +358,11 @@ STAGE_PRESETS: Dict[str, Dict[str, Any]] = {
                        data_seq_len=17, train_long_term_mem_gap=4,
                        model_linear_q=False, model_ignore_token=True,
                        train_auto_resume=False, pretrain_full=True),
+    # pre_vost_25q.py:13-16: seq_len 25 variant
+    "pre_vost_25q": dict(datasets=("vost",), train_total_steps=20_000,
+                         data_seq_len=25, train_long_term_mem_gap=4,
+                         model_linear_q=False, model_ignore_token=True,
+                         train_auto_resume=False, pretrain_full=True),
     # synthetic smoke stage (reference TEST dataset path,
     # dataloaders/train_datasets.py:821-854); small crops for fast compiles
     "test": dict(datasets=("test",), train_total_steps=100, data_seq_len=3,

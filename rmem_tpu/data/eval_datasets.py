@@ -234,6 +234,23 @@ class SyntheticEvalDataset:
                                   self.hw)
 
 
+def sequence_lengths(dataset) -> Optional[List[int]]:
+    """Per-sequence frame counts from the dataset index (one listdir per
+    sequence, no decoding). Feeds length-aware host sharding — the static
+    counterpart of the reference's dynamic work queue
+    (aot_plus/networks/managers/evaluator.py:276-295). Returns None when the
+    dataset doesn't expose a cheap index."""
+    if hasattr(dataset, "num_frames"):  # synthetic
+        return [int(dataset.num_frames)] * len(dataset)
+    if hasattr(dataset, "seq_names") and hasattr(dataset, "image_root"):
+        try:
+            return [len(os.listdir(os.path.join(dataset.image_root, n)))
+                    for n in dataset.seq_names]
+        except OSError:
+            return None
+    return None
+
+
 def build_eval_dataset(cfg, data_root: Optional[str] = None):
     """Dataset dispatch (aot_plus/networks/managers/evaluator.py:112-263)."""
     name = cfg.test_dataset

@@ -443,10 +443,24 @@ class ProcessBatchLoader:
         return self._q.get()
 
     def close(self):
+        # Workers may be blocked mid-put on the shared queue; terminating
+        # them in that state can corrupt the queue's feeder for later gets.
+        # Drain first so blocked puts complete, detach our feeder, then
+        # terminate.
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._q.cancel_join_thread()
         for p in self._procs:
             p.terminate()
         for p in self._procs:
             p.join(timeout=2)
+        try:
+            self._q.close()
+        except Exception:
+            pass
 
 
 def make_batch_loader(dataset, batch_size: int, seed: int = 0,

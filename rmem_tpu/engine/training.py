@@ -220,8 +220,16 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
             lambda f, n: jnp.where(fidx == 1, jax.lax.stop_gradient(n), f),
             first_short, new_short)
         if cfg.reverse_infer:
-            rloss = reverse_loss_fn(new_bank, new_first)
-            loss = loss + jnp.where(do_long, rloss, 0.0)
+            # lax.cond (not where-masking) so the reverse decode's full
+            # LSTT forward runs only on gap-boundary frames, mirroring the
+            # inference-side write gate; masking the result would still pay
+            # ~2x the propagate FLOPs on EVERY frame
+            rloss = jax.lax.cond(
+                do_long,
+                lambda ops: reverse_loss_fn(*ops),
+                lambda ops: jnp.zeros_like(loss),
+                (new_bank, new_first))
+            loss = loss + rloss
         # train-time IoU meter input (trainer.py:635-653, metric.py:4-36)
         from rmem_tpu.utils.metric import pytorch_iou_batched
         iou = pytorch_iou_batched(jax.lax.stop_gradient(pred_label),

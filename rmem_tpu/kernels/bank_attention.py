@@ -248,11 +248,11 @@ def _forward(q, bank_k, bank_v, count, num_heads, scale, tile_q, tile_k,
                              lambda bh_, qt, skv, *_: (bh_, qt, 0)),
                 pl.BlockSpec((1, 1, tk, dh),
                              lambda bh_, qt, skv, cnt:
-                             (jnp.minimum(skv // chunks, cnt[0] - 1),
+                             (jnp.minimum(skv // chunks, jnp.maximum(cnt[0] - 1, 0)),
                               bh_, skv % chunks, 0)),
                 pl.BlockSpec((1, 1, tk, dv),
                              lambda bh_, qt, skv, cnt:
-                             (jnp.minimum(skv // chunks, cnt[0] - 1),
+                             (jnp.minimum(skv // chunks, jnp.maximum(cnt[0] - 1, 0)),
                               bh_, skv % chunks, 0)),
             ],
             out_specs=[
@@ -352,7 +352,7 @@ def _bank_attention_bwd(num_heads, scale, tile_q, tile_k, res, cts):
             skv = b_
             sl = skv // chunks
             if clamp:
-                sl = jnp.minimum(sl, cnt_[0] - 1)
+                sl = jnp.minimum(sl, jnp.maximum(cnt_[0] - 1, 0))
             return (sl, bh_, skv % chunks, 0)
         return pl.BlockSpec((1, 1, tk, width), idx)
 
@@ -360,7 +360,7 @@ def _bank_attention_bwd(num_heads, scale, tile_q, tile_k, res, cts):
         def idx(bh_, skv, qt, cnt_):
             sl = skv // chunks
             if clamp:
-                sl = jnp.minimum(sl, cnt_[0] - 1)
+                sl = jnp.minimum(sl, jnp.maximum(cnt_[0] - 1, 0))
             return (sl, bh_, skv % chunks, 0)
         return pl.BlockSpec((1, 1, tk, width), idx)
 

@@ -253,7 +253,11 @@ def tiled_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # tile sweep on-chip at 31x54/m=7 (ROUND_NOTES r2): T=8 -> 109 FPS,
     # T=16 -> 102, T=24 -> 64. Small tiles waste fewer halo FLOPs
     # ((T+2m)^2 keys per query); 8 sublanes is still MXU-friendly.
-    T = tile or 8
+    # halo_patches' 3x3 slice assembly needs T >= m (each tile's window may
+    # only reach one tile-row/col of neighbors), so grow the tile for wide
+    # windows instead of mis-slicing via negative indexing.
+    T = tile or max(8, m)
+    assert m <= T, (m, T)
     ty, tx = -(-h2d // T), -(-w2d // T)
     hp, wp = ty * T - h2d, tx * T - w2d
     halo = T + 2 * m

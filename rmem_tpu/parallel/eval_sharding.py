@@ -19,11 +19,35 @@ import numpy as np
 
 def host_sequence_indices(num_sequences: int,
                           process_index: int | None = None,
-                          process_count: int | None = None) -> List[int]:
-    """Strided partition of sequence indices for this host."""
+                          process_count: int | None = None,
+                          lengths: Sequence[int] | None = None) -> List[int]:
+    """Partition of sequence indices for this host.
+
+    With `lengths` (per-sequence frame counts, known from the dataset index
+    before any work starts), uses greedy longest-processing-time (LPT)
+    assignment: sequences sorted by descending length, each placed on the
+    currently least-loaded host. This is the static equivalent of the
+    reference's dynamic mp.Queue work stealing (evaluator.py:276-295) — VOST
+    sequence lengths vary ~4x, so plain striding gates every host on the
+    unluckiest slice; LPT is within 4/3 of optimal makespan.
+
+    Without `lengths`, falls back to strided partitioning.
+    """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
-    return list(range(pi, num_sequences, pc))
+    if lengths is None:
+        return list(range(pi, num_sequences, pc))
+    assert len(lengths) == num_sequences
+    loads = [0] * pc
+    assign: List[List[int]] = [[] for _ in range(pc)]
+    # Stable tie-break on index keeps the assignment deterministic across
+    # hosts (all hosts compute the same partition independently).
+    order = sorted(range(num_sequences), key=lambda i: (-lengths[i], i))
+    for i in order:
+        h = min(range(pc), key=lambda j: (loads[j], j))
+        loads[h] += lengths[i]
+        assign[h].append(i)
+    return sorted(assign[pi])
 
 
 def allreduce_stats(stats: Dict[str, float]) -> Dict[str, float]:

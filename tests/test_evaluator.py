@@ -298,3 +298,62 @@ def test_device_prep_matches_host_prep(tmp_path):
         # on such deltas, so require 99% agreement here (real weights/frames
         # are bit-identical in the parity harness, PARITY_RUN.md)
         assert (a == b).mean() > 0.99
+
+
+def test_evaluator_midvideo_label_fused_matches_slow(tmp_path):
+    """A mid-video annotated frame (YouTubeVOS-style new object,
+    evaluator.py:484-508) must run the fused chunk-scan on BOTH segments —
+    chunk up to the labeled frame, single-step + re-reference there, chunks
+    after — with masks matching the per-frame slow path."""
+    import jax
+    from rmem_tpu.models import build_vos_model, init_params
+
+    class _Seq:
+        name = "mid"
+        labels = ["00000.png", "00002.png"]
+
+        def __len__(self):
+            return 6
+
+        def __iter__(self):
+            rng = np.random.RandomState(5)
+            lab0 = np.zeros((96, 160), np.uint8)
+            lab0[10:40, 20:60] = 1
+            lab2 = np.zeros((96, 160), np.uint8)
+            lab2[50:80, 90:140] = 2
+            for j in range(6):
+                img = (rng.rand(96, 160, 3) * 255).astype(np.float32)
+                label = lab0 if j == 0 else (lab2 if j == 2 else None)
+                yield type("F", (), {
+                    "name": f"{j:05d}.jpg", "image": img, "label": label,
+                    "obj_num": 1 if j < 2 else 2, "obj_idx": None})()
+
+    class _DS:
+        def __len__(self):
+            return 1
+
+        def sequence(self, idx):
+            return _Seq()
+
+    cfg = get_config("test", model="tiny_deaotl", test_dataset="test",
+                     test_ckpt_path="test", test_flip=True,
+                     compute_dtype="float32", eval_scan_chunk=2)
+    model = build_vos_model(cfg.model_vos, cfg)
+    params = init_params(model, jax.random.PRNGKey(11))
+
+    outs = []
+    for mode in ("fused", "slow"):
+        ev = Evaluator(cfg, params=params,
+                       output_root=str(tmp_path / mode), log=lambda *a: None)
+        ev.dataset = _DS()
+        if mode == "slow":
+            ev.force_slow = True
+        ev.evaluate()
+        outs.append([np.asarray(Image.open(
+            os.path.join(str(tmp_path / mode), "mid", f"{i:05d}.png")))
+            for i in range(6)])
+    # frame 2's saved mask must contain the injected object 2 in both paths
+    assert (outs[0][2] == 2).sum() > 0
+    for i, (a, b) in enumerate(zip(*outs)):
+        mismatch = float((a != b).mean())
+        assert mismatch <= 1e-4, f"frame {i} mask mismatch {mismatch}"

@@ -230,3 +230,34 @@ def test_process_batch_loader():
             assert np.isfinite(b["imgs"]).all()
     finally:
         loader.close()
+
+
+def test_train_forward_reverse_infer_cond_gated():
+    """REVERSE_INFER (aot_engine.py:371-396): the consistency loss is added
+    ONLY on gap-boundary frames (via lax.cond, so non-boundary frames skip
+    the reverse decode's FLOPs entirely) and gradients stay finite."""
+    kw = dict(train_total_steps=100, train_long_term_mem_gap=2)
+    cfg_off = get_config("test", model="tiny_deaotl", **kw)
+    cfg_on = get_config("test", model="tiny_deaotl", reverse_infer=True, **kw)
+    model = build_vos_model(cfg_off.model_vos, cfg_off)
+    params = init_params(model, jax.random.PRNGKey(0), HW)
+    batch = _batch(1, 4)
+    args = (batch["imgs"], batch["labels"], batch["obj_nums"],
+            jnp.float32(0), None, jnp.asarray(False))
+
+    _, m_off = train_forward(model, params, *args, cfg_off)
+    _, m_on = train_forward(model, params, *args, cfg_on)
+    pf_off = np.asarray(m_off["loss_per_frame"])
+    pf_on = np.asarray(m_on["loss_per_frame"])
+    # gap=2, writes at fidx 2 only (fidx-last>=2): frames 1 and 3 unchanged,
+    # frame 2 strictly larger by the weighted reverse loss
+    np.testing.assert_allclose(pf_on[[0, 2]], pf_off[[0, 2]], rtol=1e-5)
+    assert pf_on[1] > pf_off[1]
+
+    def loss_fn(p):
+        loss, _ = train_forward(model, p, *args, cfg_on)
+        return loss
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
