@@ -53,18 +53,29 @@ def _chip_peak_flops() -> float | None:
     return best[1] if best else None
 
 
-def _flops_per_frame(engine, state, chunk) -> float | None:
-    """Analytic FLOPs of one fused frame step, from XLA's cost analysis of
-    the compiled CHUNK-frame scan (counts the optimized HLO's matmul+vector
-    FLOPs; divided by CHUNK). Same executable as the timed loop, so the
-    count matches what actually ran."""
+def _flops_per_frame(cfg, model, params, state, img) -> float | None:
+    """Analytic FLOPs of one fused frame step from XLA's HLO cost analysis.
+
+    Two accounting traps, both verified empirically: (a) HLO cost analysis
+    counts a while/scan body ONCE regardless of trip count, so we lower the
+    single-frame `_step` graph, not the chunked scan; (b) Pallas kernels are
+    opaque custom-calls counted as zero FLOPs, so the analysis engine runs
+    with `use_pallas_bank_attention=False` — the XLA einsum formulation of
+    bank attention is mathematically identical, making this the analytic
+    count for the fused kernel too. Lowering only (no compile): HLO-level
+    analysis, no second executable."""
     try:
-        compiled = engine._scan.lower(engine.params, state, chunk,
-                                      out_hw=HW).compile()
-        ca = compiled.cost_analysis()
+        from rmem_tpu.engine import InferenceEngine
+        eng = InferenceEngine(
+            model, params, cfg.replace(use_pallas_bank_attention=False),
+            donate=False)
+        lowered = eng._step.lower(params, state, img, out_hw=HW)
+        ca = lowered.cost_analysis()
+        if ca is None:  # axon backend: HLO-level analysis needs the compile
+            ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca["flops"]) / CHUNK
+        return float(ca["flops"])
     except Exception:
         return None
 
@@ -91,9 +102,9 @@ def main():
 
     chunk = jnp.asarray(rng.rand(CHUNK, 1, *HW, 3), jnp.float32)
 
-    # FLOP count from the same executable the timed loop runs (before the
-    # timing loop: state buffers are donated inside it)
-    flops_frame = _flops_per_frame(engine, state, chunk)
+    # FLOP count of one frame step (before the timing loop: state buffers
+    # are donated inside it)
+    flops_frame = _flops_per_frame(cfg, model, params, state, chunk[0])
 
     # warmup: compile + fill the bank to steady state; hard host sync
     state, labels = engine.scan_steps(state, chunk, HW)

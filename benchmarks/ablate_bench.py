@@ -1,0 +1,131 @@
+"""Component time budget by graph ablation inside the fused scan.
+
+Per-op microbenchmarks are invalid on this rig (the tunnel dominates any
+single-op sync — ROUND_NOTES), so components are measured by REMOVING them
+from the compiled scan graph (monkeypatched stubs that keep all shapes) and
+timing the same chunked loop as bench.py. The difference to the full graph
+is that component's budget, including whatever XLA fusion around it
+disappears with it.
+
+Stubs keep parameters and shapes identical, so no init/convert changes.
+
+Usage: python benchmarks/ablate_bench.py [--ablate none,local,...]
+Ablations:
+  none       full graph (reference point; same as bench.py)
+  bank       long-term bank attention -> zeros (+ zero record)
+  local      tiled local attention -> zeros
+  self_attn  gated self-attention -> zeros
+  dwconv     GatedTail depthwise conv removed (gate+projection kept)
+  tails      GatedTail -> projection(agg*gate) only == dwconv here
+  encoder    encoder -> constant feature pyramid
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HW = (481, 849)
+NUM_OBJECTS = 10
+CHUNK = 30
+N_CHUNKS = 4
+
+
+def _apply_ablation(name):
+    from rmem_tpu.models import gpm
+    from rmem_tpu.ops import layers as ops_layers
+
+    if name == "none":
+        return
+    if name == "bank":
+        def stub(q, k, v, mask, heads, need_record=False, scale=None,
+                 use_pallas=False):
+            out = jnp.zeros(q.shape[:-1] + (v.shape[-1],), q.dtype)
+            rec = (jnp.zeros(q.shape[:-1] + (k.shape[0],), jnp.float32)
+                   if need_record else None)
+            return out, rec
+        gpm.bank_attention_dispatch = stub
+    elif name == "local":
+        def stub(q, k, v, rel, size_2d, heads, max_dis=7, scale=None,
+                 tile=None):
+            return jnp.zeros(q.shape[:-1] + (v.shape[-1],), q.dtype)
+        gpm.tiled_local_attention = stub
+    elif name == "self_attn":
+        def stub(self, x, size_2d, deterministic=True):
+            return jnp.zeros(x.shape[:-1] + (self.d_vu,), x.dtype)
+        gpm.GatedSelfAttention.__call__ = stub
+    elif name in ("dwconv", "tails"):
+        def stub(self, agg, gate, size_2d, deterministic=True):
+            return self.projection(agg * gate)
+        gpm.GatedTail.__call__ = stub
+    elif name == "encoder":
+        # constant pyramid: zero out the conv stack but keep shapes by
+        # replacing the encoder's apply with broadcast constants
+        from rmem_tpu.models import aot as aot_mod
+
+        orig = aot_mod.AOT.encode_image
+
+        def stub(self, img):
+            # zeros_like only needs shapes -> the conv stack's outputs are
+            # unused and XLA dead-code-eliminates the whole encoder
+            return tuple(jnp.zeros_like(x) for x in orig(self, img))
+        aot_mod.AOT.encode_image = stub
+    else:
+        raise ValueError(name)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ablate", default="none")
+    args = ap.parse_args()
+
+    from rmem_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    _apply_ablation(args.ablate)
+
+    from rmem_tpu.config import get_config
+    from rmem_tpu.engine import InferenceEngine
+    from rmem_tpu.models import build_vos_model, init_params
+
+    cfg = get_config("pre_vost", model="r50_deaotl")
+    model = build_vos_model(cfg.model_vos, cfg)
+    params = init_params(model, jax.random.PRNGKey(0), HW)
+    engine = InferenceEngine(model, params, cfg, donate=True)
+
+    rng = np.random.RandomState(0)
+    img0 = jnp.asarray(rng.rand(1, *HW, 3), jnp.float32)
+    mask = np.zeros((1, *HW), np.int32)
+    for i in range(NUM_OBJECTS):
+        mask[:, :, i * 80:(i * 80 + 60)] = i + 1
+    state, _ = engine.add_reference(img0, jnp.asarray(mask), [NUM_OBJECTS],
+                                    gap=5)
+    chunk = jnp.asarray(rng.rand(CHUNK, 1, *HW, 3), jnp.float32)
+
+    state, labels = engine.scan_steps(state, chunk, HW)
+    _ = np.asarray(labels[-1])
+
+    t0 = time.perf_counter()
+    for _ in range(N_CHUNKS):
+        state, labels = engine.scan_steps(state, chunk, HW)
+    _ = np.asarray(labels[-1])
+    dt = time.perf_counter() - t0
+
+    fps = (CHUNK * N_CHUNKS) / dt
+    print(json.dumps({
+        "ablate": args.ablate,
+        "fps": round(fps, 2),
+        "ms_per_frame": round(1000.0 * dt / (CHUNK * N_CHUNKS), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
