@@ -77,19 +77,58 @@ class Trainer:
             num_workers=min(cfg.data_workers, 4),
             use_processes=cfg.data_loader_processes)
 
+    def _device_batches(self, rng):
+        """Depth-1 background H2D feeder: batch i+1's host->device transfer
+        (100+ MB at batch 4, reference scale) streams on this thread while
+        step i computes — the step dispatch is async, so without this the
+        synchronous device_put serializes with compute on slow transports.
+        The shuffle matrices are drawn sequentially on this single thread,
+        so their order stays deterministic."""
+        import queue as q_mod
+        import threading
+
+        from rmem_tpu.ops.masks import host_id_shuffle_matrix
+        from rmem_tpu.parallel.mesh import batch_sharding
+        cfg = self.cfg
+        bsh = batch_sharding(self.mesh)
+        out: "q_mod.Queue" = q_mod.Queue(maxsize=1)
+        stop = threading.Event()
+
+        def feeder():
+            while not stop.is_set():
+                try:
+                    batch = shard_batch(next(self.loader), self.mesh)
+                    shuffle = jax.device_put(host_id_shuffle_matrix(
+                        rng, cfg.model_max_obj_num + 1,
+                        cfg.train_batch_size), bsh)
+                    out.put((batch, shuffle))
+                except BaseException as e:
+                    out.put(e)
+                    return
+
+        threading.Thread(target=feeder, daemon=True).start()
+        try:
+            while True:
+                item = out.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            try:  # unblock a feeder stuck on put()
+                out.get_nowait()
+            except Exception:
+                pass
+
     def train(self, max_steps: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg
         total = max_steps or cfg.train_total_steps
         rng = np.random.RandomState(cfg.train_start_step + 7)
         t_last = time.perf_counter()
         metrics = {}
-        from rmem_tpu.ops.masks import host_id_shuffle_matrix
-        from rmem_tpu.parallel.mesh import batch_sharding
-        bsh = batch_sharding(self.mesh)
+        batches = self._device_batches(rng)
         while int(self.state.step) < total:
-            batch = shard_batch(next(self.loader), self.mesh)
-            shuffle = jax.device_put(host_id_shuffle_matrix(
-                rng, cfg.model_max_obj_num + 1, cfg.train_batch_size), bsh)
+            batch, shuffle = next(batches)
             self.state, metrics = self.pstep(self.state, batch, shuffle)
             step = int(self.state.step)
             if step % cfg.train_log_step == 0:
@@ -112,6 +151,7 @@ class Trainer:
                 self._dump_images(batch, metrics["pred_label_last"], step)
             if step % cfg.train_save_step == 0:
                 self.save(step)
+        batches.close()
         self.loader.close()
         return {k: float(v) for k, v in metrics.items()
                 if np.ndim(v) == 0}
