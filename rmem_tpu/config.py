@@ -162,6 +162,11 @@ class Config:
     compute_dtype: str = "bfloat16"      # activations dtype under jit
     param_dtype: str = "float32"
     use_pallas_bank_attention: bool = True
+    # fused VMEM-resident tile-halo local attention (DeAOT short-term path,
+    # kernels/local_attention.py); inference-only — the XLA tile-halo form
+    # spends ~1 ms/frame on halo-patch materialization (ROUND_NOTES r3
+    # ablation budget)
+    use_pallas_local_attention: bool = True
     # frames per eval dispatch on unlabeled stretches: one lax.scan chunk
     # amortizes the per-dispatch host/tunnel latency across K frames
     # (ROUND_NOTES: ~120 ms RTT on the tunneled backend). The last partial

@@ -90,9 +90,15 @@ class InferenceEngine:
         self.params = params
         self.cfg = cfg
         self.need_record = need_record and not cfg.no_long_memory
-        # fused Pallas bank attention (custom flash-style VJP for training)
-        self.use_pallas = (cfg.use_pallas_bank_attention
-                           and _jax.default_backend() != "cpu")
+        # fused Pallas bank attention (custom flash-style VJP for training);
+        # "all" additionally routes DeAOT's local attention to the fused
+        # VMEM kernel (inference-only, no VJP needed here)
+        if cfg.use_pallas_bank_attention and _jax.default_backend() != "cpu":
+            self.use_pallas = ("all" if (cfg.use_pallas_local_attention
+                                         and cfg.model_vos == "deaot")
+                               else True)
+        else:
+            self.use_pallas = False
         self._donate = donate
         donate_args = (1,) if donate else ()
         self._add_ref = jax.jit(self._add_reference_impl)

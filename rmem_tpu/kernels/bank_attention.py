@@ -429,7 +429,14 @@ def pallas_bank_attention(q: jnp.ndarray, bank_k: jnp.ndarray,
     (the internal tile clamps to round_up(Lk, 128)): at the 1674-token eval
     grid, 512-key chunks pad Lk to 2048 (18% wasted MXU work) — on-chip
     sweep: tk=2048 -> 115.7 FPS vs tk=512 -> 109.4 on the 480p bench.
+    V is re-streamed from HBM once per QUERY tile (S*Lk*dv bytes each), so
+    fewer/larger query tiles cut the dominant HBM traffic; tile_q is
+    VMEM-bound against the [tq, tk] f32 logits and [tq, dv] f32 accumulator.
+    RMEM_BANK_TQ / RMEM_BANK_TK env knobs exist for on-chip sweeps.
     """
+    import os
+    tile_q = int(os.environ.get("RMEM_BANK_TQ", tile_q))
+    tile_k = int(os.environ.get("RMEM_BANK_TK", tile_k))
     dh = q.shape[-1] // num_heads
     scale = scale if scale is not None else dh ** -0.5
     return _bank_attention(q, bank_k, bank_v, count, num_heads, float(scale),

@@ -1,0 +1,214 @@
+"""Pallas TPU kernel: fused tile-halo windowed local attention.
+
+DeAOT's short-term attention is a (2m+1)^2-windowed attention with a learned
+relative-position bias (aot_plus/networks/layers/attention.py:220-413; the
+reference materializes a 225x unfold). The XLA tile-halo formulation
+(ops/attention.py:tiled_local_attention) is semantically right but spends
+~1 ms/frame building halo'd K/V patches, f32 probabilities and transposes in
+HBM (~15% of the whole frame, measured by ablation — ROUND_NOTES r3).
+
+This kernel keeps all intermediates in VMEM. The query grid is cut into
+T x T tiles; for each tile the kernel DMAs its (T+2m)^2 halo window of K and
+V row-by-row into FLAT [halo^2, d] scratch (flattening during the copy, so
+both matmuls run with a single large contraction instead of per-row strips),
+computes [T^2, halo^2] logits on the MXU, adds the precomputed
+bias-plus-window-mask block, does an in-register softmax, and writes the
+[T^2, dv] aggregation. Per frame the only HBM intermediates left are the
+padded K/V maps and the bias tensor.
+
+Layout notes: TT = T^2 = 64 sublane rows; HH = halo^2 = 484 lanes (padded to
+512 by Mosaic, with reductions masked by logical shape); contraction dims
+128 (QK) and 484 (PV) keep the MXU busy — the row-strip alternative would
+pad every PV dot's contraction from 22 to 128.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+@functools.lru_cache(maxsize=32)
+def _static_mask(h2d: int, w2d: int, T: int, m: int,
+                 halo_x: int) -> np.ndarray:
+    """[nT, T*T, halo*halo_x] bool: window validity (|dy|,|dx| <= m) AND
+    in-image validity of the key position — all geometry, no data. halo_x
+    is the x-halo rounded up to the sublane tile (8) for DMA alignment;
+    the extra columns are always invalid."""
+    halo = T + 2 * m
+    ty, tx = -(-h2d // T), -(-w2d // T)
+    ax_q = np.arange(T)
+    ax_ky = np.arange(halo)
+    ax_kx = np.arange(halo_x)
+    dy = ax_ky[None, :] - ax_q[:, None]
+    dx = ax_kx[None, :] - ax_q[:, None]
+    ok_y = (dy >= 0) & (dy <= 2 * m)                    # [T, halo]
+    ok_x = (dx >= 0) & (dx <= 2 * m)                    # [T, halo_x]
+    win_ok = (ok_y[:, None, :, None] & ok_x[None, :, None, :]).reshape(
+        T * T, halo * halo_x)
+    masks = np.empty((ty * tx, T * T, halo * halo_x), bool)
+    for i in range(ty):
+        for j in range(tx):
+            ky = i * T + ax_ky - m                       # image row of halo a
+            kx = j * T + ax_kx - m
+            img_ok = ((ky >= 0) & (ky < h2d))[:, None] & \
+                     ((kx >= 0) & (kx < w2d))[None, :]
+            masks[i * tx + j] = win_ok & img_ok.reshape(-1)[None, :]
+    # query padding rows/cols (tiles overhanging the image) produce garbage
+    # queries; their outputs are sliced away by the caller, and every key is
+    # masked for them only if the whole row is invalid — leave them be: a
+    # fully-masked row softmaxes to uniform over -inf -> guarded by eps.
+    return masks
+
+
+def _kernel(q_ref, bias_ref, kp_ref, vp_ref, out_ref, kf, vf, sems, *,
+            T: int, m: int, tx: int, halo: int, halo_x: int, dh: int,
+            dv: int):
+    bh = pl.program_id(0)
+    t = pl.program_id(1)
+    y0 = (t // tx) * T
+    x0 = (t % tx) * T
+
+    copies = []
+    for a in range(halo):
+        ck = pltpu.make_async_copy(
+            kp_ref.at[bh, y0 + a, pl.ds(x0, halo_x), :],
+            kf.at[pl.ds(a * halo_x, halo_x), :], sems.at[0, a])
+        cv = pltpu.make_async_copy(
+            vp_ref.at[bh, y0 + a, pl.ds(x0, halo_x), :],
+            vf.at[pl.ds(a * halo_x, halo_x), :], sems.at[1, a])
+        ck.start()
+        cv.start()
+        copies.append((ck, cv))
+
+    q = q_ref[0, 0]                                   # [TT, dh], pre-scaled
+    bias = bias_ref[0, 0]                             # [TT, HH] f32 + mask
+
+    for ck, _ in copies:
+        ck.wait()
+    logits = jax.lax.dot_general(
+        q, kf[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + bias    # [TT, HH]
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - mx)
+    l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+
+    for _, cv in copies:
+        cv.wait()
+    acc = jax.lax.dot_general(
+        p.astype(vf.dtype), vf[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [TT, dv]
+    out_ref[0, 0] = (acc / l).astype(out_ref.dtype)
+
+
+def pallas_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           rel_emb: jnp.ndarray, size_2d: Tuple[int, int],
+                           num_heads: int, max_dis: int = 7,
+                           scale: Optional[float] = None,
+                           tile: Optional[int] = None,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for ops.attention.tiled_local_attention (same contract).
+
+    q, k: [B, HW, h*dh]; v: [B, HW, h*dv]; rel_emb: [B, HW, h*win^2]
+    (learned relative bias from the unscaled q, attention.py:314).
+    Inference path only — no custom VJP (training uses the XLA form).
+    """
+    h2d, w2d = size_2d
+    b, hw, chd = q.shape
+    h = num_heads
+    dh = chd // h
+    dv = v.shape[-1] // h
+    full_win = 2 * max_dis + 1
+    m = min(max_dis, h2d - 1, w2d - 1)
+    win = 2 * m + 1
+    if m != max_dis:
+        r4 = rel_emb.reshape(b, hw, h, full_win, full_win)
+        lo, hi = max_dis - m, max_dis + m + 1
+        rel_emb = r4[..., lo:hi, lo:hi].reshape(b, hw, h * win * win)
+    scale = scale if scale is not None else dh ** -0.5
+
+    T = tile or max(8, m)
+    assert m <= T, (m, T)
+    ty, tx = -(-h2d // T), -(-w2d // T)
+    hp, wp = ty * T - h2d, tx * T - w2d
+    halo = T + 2 * m
+    halo_x = -(-halo // 8) * 8   # sublane-aligned x-halo for the DMA rows
+    nT, TT, HH = ty * tx, T * T, halo * halo_x
+
+    def to_bh(x, d):
+        """[B, HW, h*d] -> [B*h, Hp, Wp, d] spatially padded by (m, m+pad);
+        the right pad includes the sublane-alignment slack so every tile's
+        halo_x-wide row DMA stays in bounds."""
+        x4 = x.reshape(b, h2d, w2d, h, d)
+        if h > 1:
+            x4 = x4.transpose(0, 3, 1, 2, 4).reshape(b * h, h2d, w2d, d)
+        else:
+            x4 = x4.reshape(b, h2d, w2d, d)
+        return jnp.pad(x4, ((0, 0), (m, m + hp),
+                            (m, m + wp + (halo_x - halo)), (0, 0)))
+
+    kp = to_bh(k, dh)
+    vp = to_bh(v, dv)
+
+    # query tiles, scale folded in
+    q4 = (q * scale).reshape(b, h2d, w2d, h, dh)
+    if h > 1:
+        q4 = q4.transpose(0, 3, 1, 2, 4).reshape(b * h, h2d, w2d, dh)
+    else:
+        q4 = q4.reshape(b, h2d, w2d, dh)
+    q4 = jnp.pad(q4, ((0, 0), (0, hp), (0, wp), (0, 0)))
+    qt = q4.reshape(b * h, ty, T, tx, T, dh).transpose(0, 1, 3, 2, 4, 5)
+    qt = qt.reshape(b * h, nT, TT, dh)
+
+    # bias in halo space: row i of a tile occupies halo rows [i, i+2m]
+    # (separable (i, T-1-i) pads), with the static window+image mask folded
+    r = rel_emb.reshape(b, h2d, w2d, h, win, win).astype(jnp.float32)
+    r = jnp.pad(r, ((0, 0), (0, hp), (0, wp), (0, 0), (0, 0), (0, 0)))
+    r = r.reshape(b, ty, T, tx, T, h, win, win)
+    r = jnp.stack([jnp.pad(r[:, :, i],
+                           ((0, 0),) * 5 + ((i, T - 1 - i), (0, 0)))
+                   for i in range(T)], axis=2)
+    r = jnp.stack([jnp.pad(r[:, :, :, :, j],
+                           ((0, 0),) * 6 + ((j, halo_x - win - j),))
+                   for j in range(T)], axis=4)
+    # [b, nT, h, TT, HH] -> [b*h, nT, TT, HH]
+    r = r.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b, nT, h, TT, HH)
+    ok = jnp.asarray(_static_mask(h2d, w2d, T, m, halo_x))[None, :, None]
+    bias = jnp.where(ok, r, NEG_INF)
+    bias = bias.transpose(0, 2, 1, 3, 4).reshape(b * h, nT, TT, HH)
+
+    kernel = functools.partial(_kernel, T=T, m=m, tx=tx, halo=halo,
+                               halo_x=halo_x, dh=dh, dv=dv)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, nT),
+        in_specs=[
+            pl.BlockSpec((1, 1, TT, dh), lambda bh, t: (bh, t, 0, 0)),
+            pl.BlockSpec((1, 1, TT, HH), lambda bh, t: (bh, t, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TT, dv), lambda bh, t: (bh, t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, nT, TT, dv), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((HH, dh), k.dtype),
+            pltpu.VMEM((HH, dv), v.dtype),
+            pltpu.SemaphoreType.DMA((2, halo)),
+        ],
+        interpret=interpret,
+    )(qt, bias, kp, vp)
+
+    # [b*h, nT, TT, dv] -> [b, HW, h*dv]
+    out = out.reshape(b, h, ty, tx, T, T, dv) if h > 1 \
+        else out.reshape(b, 1, ty, tx, T, T, dv)
+    out = out.transpose(0, 2, 4, 3, 5, 1, 6).reshape(
+        b, ty * T, tx * T, h * dv)
+    return out[:, :h2d, :w2d].reshape(b, hw, h * dv)

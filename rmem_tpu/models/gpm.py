@@ -184,10 +184,19 @@ class GPMBlock(nn.Module):
 
         cat_local_v = jnp.concatenate([short_v, short_id_v], axis=-1)
         rel = self.relative_emb_k(curr_q)  # from unscaled q (attention.py:314)
-        agg3 = tiled_local_attention(curr_q, short_k, cat_local_v, rel,
-                                     size_2d, self.att_heads,
-                                     max_dis=MAX_LOCAL_DIS,
-                                     scale=self.d_att ** -0.5)
+        if use_pallas == "all":
+            # fused VMEM-resident kernel; inference only (no VJP)
+            from rmem_tpu.kernels.local_attention import \
+                pallas_local_attention
+            agg3 = pallas_local_attention(curr_q, short_k, cat_local_v, rel,
+                                          size_2d, self.att_heads,
+                                          max_dis=MAX_LOCAL_DIS,
+                                          scale=self.d_att ** -0.5)
+        else:
+            agg3 = tiled_local_attention(curr_q, short_k, cat_local_v, rel,
+                                         size_2d, self.att_heads,
+                                         max_dis=MAX_LOCAL_DIS,
+                                         scale=self.d_att ** -0.5)
         cat_tgt3 = self.short_tail(agg3, cat_u, size_2d, deterministic)
 
         tgt2, tgt_id2 = jnp.split(cat_tgt2, 2, axis=-1)

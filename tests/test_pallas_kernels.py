@@ -156,3 +156,52 @@ def test_pallas_bank_attention_grad_out_only():
     for name, a, r in zip(("dq", "dk", "dv"), g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=3e-4, rtol=3e-4, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# tile-halo local attention kernel
+# ---------------------------------------------------------------------------
+
+from rmem_tpu.kernels.local_attention import pallas_local_attention
+from rmem_tpu.ops.attention import tiled_local_attention
+
+
+@pytest.mark.parametrize("h2d,w2d,heads,dh,dv,max_dis", [
+    (17, 23, 1, 64, 128, 7),     # VOS-like odd grid, single head
+    (12, 12, 2, 32, 64, 5),      # multi-head
+    (9, 9, 1, 32, 32, 7),        # window clamped by grid (m < max_dis)
+])
+def test_pallas_local_attention_matches_tiled(h2d, w2d, heads, dh, dv,
+                                              max_dis):
+    rng = np.random.RandomState(3)
+    b, hw = 1, h2d * w2d
+    win2 = (2 * max_dis + 1) ** 2
+    q = _rand(rng, b, hw, heads * dh)
+    k = _rand(rng, b, hw, heads * dh)
+    v = _rand(rng, b, hw, heads * dv)
+    rel = _rand(rng, b, hw, heads * win2) * 0.3
+
+    ref = tiled_local_attention(q, k, v, rel, (h2d, w2d), heads,
+                                max_dis=max_dis)
+    out = pallas_local_attention(q, k, v, rel, (h2d, w2d), heads,
+                                 max_dis=max_dis, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_pallas_local_attention_bf16():
+    rng = np.random.RandomState(4)
+    h2d, w2d, heads, dh, dv, m = 16, 16, 1, 64, 128, 7
+    b, hw = 1, h2d * w2d
+    win2 = (2 * m + 1) ** 2
+    q = _rand(rng, b, hw, dh, dtype=np.float32).astype(jnp.bfloat16)
+    k = _rand(rng, b, hw, dh, dtype=np.float32).astype(jnp.bfloat16)
+    v = _rand(rng, b, hw, dv, dtype=np.float32).astype(jnp.bfloat16)
+    rel = (_rand(rng, b, hw, win2) * 0.3).astype(jnp.bfloat16)
+    ref = tiled_local_attention(q, k, v, rel, (h2d, w2d), heads, max_dis=m)
+    out = pallas_local_attention(q, k, v, rel, (h2d, w2d), heads, max_dis=m,
+                                 interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=5e-2, rtol=5e-2)
