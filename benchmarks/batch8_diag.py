@@ -48,16 +48,16 @@ def build(batch, seq, remat, pallas):
     state = TrainState.create(params, cfg)
     step_fn = jax.jit(make_train_step(model, cfg, tx), donate_argnums=(0,))
 
-    labels = np.zeros((batch, seq, *HW), np.int32)
-    labels[:, :, 100:300, 100:300] = 1
-    batch_np = {
-        "imgs": np.zeros((batch, seq, *HW, 3), np.float32),
-        "labels": labels,
-        "obj_nums": np.asarray([2] * batch, np.int32),
+    # abstract inputs: lower/compile need only shapes+dtypes (batch-8 real
+    # arrays would be ~7 GB of host RAM)
+    sds = jax.ShapeDtypeStruct
+    batch_abs = {
+        "imgs": sds((batch, seq, *HW, 3), jnp.float32),
+        "labels": sds((batch, seq, *HW), jnp.int32),
+        "obj_nums": sds((batch,), jnp.int32),
     }
-    from rmem_tpu.ops.masks import host_id_shuffle_matrix
-    shuffle = host_id_shuffle_matrix(np.random.RandomState(0), 11, batch)
-    return step_fn, state, batch_np, shuffle
+    shuffle = sds((batch, 11, 11), jnp.float32)
+    return step_fn, state, batch_abs, shuffle
 
 
 def main():
@@ -92,8 +92,11 @@ def main():
                         row[k] = getattr(ma, k, None)
             except Exception as e:
                 row["compiled"] = False
-                row["compile_error"] = "".join(
-                    traceback.format_exception_only(type(e), e))[-2000:]
+                msg = "".join(
+                    traceback.format_exception_only(type(e), e))
+                # keep head (OOM headline) and tail (largest buffers)
+                row["compile_error"] = (msg if len(msg) <= 4000
+                                        else msg[:2400] + "..." + msg[-1600:])
         except Exception as e:
             row["trace_error"] = "".join(
                 traceback.format_exception_only(type(e), e))[-2000:]

@@ -47,9 +47,16 @@ class GatedTail(nn.Module):
         self.projection = nn.Dense(self.out_dim, name="projection",
                                    dtype=self.dtype)
 
-    def __call__(self, agg, gate, size_2d, deterministic=True):
-        out = agg * gate
-        out = self.dw_conv(out, size_2d, deterministic=deterministic)
+    def __call__(self, agg, gate, size_2d, deterministic=True,
+                 fused: bool = False):
+        if fused:
+            # gate-multiply + dwconv fused in VMEM (kernels/dwconv.py); the
+            # 1x1 projection stays in XLA (clean MXU matmul)
+            out = self.dw_conv(agg, size_2d, deterministic=deterministic,
+                               gate=gate, use_pallas=True)
+        else:
+            out = self.dw_conv(agg * gate, size_2d,
+                               deterministic=deterministic)
         return self.projection(out)
 
 
@@ -75,7 +82,7 @@ class GatedSelfAttention(nn.Module):
         self.tail = GatedTail(2 * self.d_vu, self.d_vu, name="tail",
                               dtype=dt, unrolled_dw=self.unrolled_dw)
 
-    def __call__(self, x, size_2d, deterministic=True):
+    def __call__(self, x, size_2d, deterministic=True, fused: bool = False):
         qk = self.linear_QK(x)
         v1, v2 = jnp.split(x, 2, axis=-1)
         v = silu(interleave_heads(self.linear_V1(v1), self.linear_V2(v2),
@@ -84,7 +91,7 @@ class GatedSelfAttention(nn.Module):
                                   self.num_heads))
         agg = multihead_attention(qk, qk, v, self.num_heads,
                                   scale=self.d_att ** -0.5)
-        return self.tail(agg, u, size_2d, deterministic)
+        return self.tail(agg, u, size_2d, deterministic, fused=fused)
 
 
 class GPMBlock(nn.Module):
@@ -180,7 +187,9 @@ class GPMBlock(nn.Module):
             q_t, bk, cat_bank_v, slot_mask, self.att_heads,
             need_record=need_record, scale=self.d_att ** -0.5,
             use_pallas=use_pallas)
-        cat_tgt2 = self.long_tail(agg, cat_u, size_2d, deterministic)
+        fused_tail = use_pallas == "all"
+        cat_tgt2 = self.long_tail(agg, cat_u, size_2d, deterministic,
+                                  fused=fused_tail)
 
         cat_local_v = jnp.concatenate([short_v, short_id_v], axis=-1)
         rel = self.relative_emb_k(curr_q)  # from unscaled q (attention.py:314)
@@ -197,7 +206,8 @@ class GPMBlock(nn.Module):
                                          size_2d, self.att_heads,
                                          max_dis=MAX_LOCAL_DIS,
                                          scale=self.d_att ** -0.5)
-        cat_tgt3 = self.short_tail(agg3, cat_u, size_2d, deterministic)
+        cat_tgt3 = self.short_tail(agg3, cat_u, size_2d, deterministic,
+                                   fused=fused_tail)
 
         tgt2, tgt_id2 = jnp.split(cat_tgt2, 2, axis=-1)
         tgt3, tgt_id3 = jnp.split(cat_tgt3, 2, axis=-1)
@@ -209,7 +219,8 @@ class GPMBlock(nn.Module):
 
         cat_in = jnp.concatenate([self.norm2(tgt), self.id_norm2(tgt_id)],
                                  axis=-1)
-        cat_out = self.self_attn(cat_in, size_2d, deterministic)
+        cat_out = self.self_attn(cat_in, size_2d, deterministic,
+                                 fused=fused_tail)
         tgt2, tgt_id2 = jnp.split(cat_out, 2, axis=-1)
         tgt = tgt + drop_path(tgt2, self.droppath, dp_rng, deterministic)
         tgt_id = tgt_id + drop_path(tgt_id2, self.droppath, dp_rng,

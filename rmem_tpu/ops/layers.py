@@ -106,11 +106,17 @@ class _DWKernel5x5(nn.Module):
     dtype: Optional[object] = None
 
     @nn.compact
-    def __call__(self, x2):
+    def __call__(self, x2, gate2=None, use_pallas: bool = False):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (5, 5, 1, self.features))
         dt = self.dtype or x2.dtype
         k = kernel.astype(dt)
+        if use_pallas and gate2 is not None:
+            # fused gate-multiply + all 25 shifts in VMEM (inference only)
+            from rmem_tpu.kernels.dwconv import pallas_gated_dwconv
+            return pallas_gated_dwconv(x2.astype(dt), gate2.astype(dt), k)
+        if gate2 is not None:
+            x2 = x2 * gate2
         xp = jnp.pad(x2.astype(dt), ((0, 0), (2, 2), (2, 2), (0, 0)))
         h, w = x2.shape[1:3]
         out = jnp.zeros(x2.shape, jnp.float32)
@@ -136,13 +142,18 @@ class DWConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, size_2d: Tuple[int, int],
-                 deterministic: bool = True):
+                 deterministic: bool = True, gate=None,
+                 use_pallas: bool = False):
         h, w = size_2d
         b, hw, c = x.shape
         x2 = x.reshape(b, h, w, c)
+        gate2 = gate.reshape(b, h, w, c) if gate is not None else None
         if self.unrolled:
-            x2 = _DWKernel5x5(self.indim, dtype=self.dtype, name="conv")(x2)
+            x2 = _DWKernel5x5(self.indim, dtype=self.dtype,
+                              name="conv")(x2, gate2, use_pallas)
         else:
+            if gate2 is not None:
+                x2 = x2 * gate2
             x2 = conv(self.indim, 5, bias=False, groups=self.indim,
                       name="conv", dtype=self.dtype)(x2)
         x2 = x2.reshape(b, hw, c)

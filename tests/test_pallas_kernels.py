@@ -205,3 +205,46 @@ def test_pallas_local_attention_bf16():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_pallas_gated_dwconv_matches_unrolled():
+    from rmem_tpu.kernels.dwconv import pallas_gated_dwconv
+
+    rng = np.random.RandomState(6)
+    b, h, w, c = 1, 13, 21, 256
+    x = _rand(rng, b, h, w, c)
+    g = _rand(rng, b, h, w, c)
+    kernel = _rand(rng, 5, 5, 1, c) * 0.2
+
+    # reference: 25 shifted multiply-adds of the gated product
+    xp = np.pad(np.asarray(x * g), ((0, 0), (2, 2), (2, 2), (0, 0)))
+    ref = np.zeros((b, h, w, c), np.float32)
+    kn = np.asarray(kernel)
+    for dy in range(5):
+        for dx in range(5):
+            ref += xp[:, dy:dy + h, dx:dx + w, :] * kn[dy, dx, 0]
+
+    out = pallas_gated_dwconv(x, g, kernel, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_gated_dwconv_bf16():
+    from rmem_tpu.kernels.dwconv import pallas_gated_dwconv
+
+    rng = np.random.RandomState(7)
+    b, h, w, c = 2, 8, 16, 128
+    x = _rand(rng, b, h, w, c).astype(jnp.bfloat16)
+    g = _rand(rng, b, h, w, c).astype(jnp.bfloat16)
+    kernel = (_rand(rng, 5, 5, 1, c) * 0.2).astype(jnp.bfloat16)
+    out = pallas_gated_dwconv(x, g, kernel, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    assert out.shape == (b, h, w, c)
+    xp = np.pad(np.asarray((x * g), np.float32),
+                ((0, 0), (2, 2), (2, 2), (0, 0)))
+    ref = np.zeros((b, h, w, c), np.float32)
+    kn = np.asarray(kernel, np.float32)
+    for dy in range(5):
+        for dx in range(5):
+            ref += xp[:, dy:dy + h, dx:dx + w, :] * kn[dy, dx, 0]
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               atol=5e-2, rtol=5e-2)
