@@ -167,6 +167,11 @@ class Config:
     # spends ~1 ms/frame on halo-patch materialization (ROUND_NOTES r3
     # ablation budget)
     use_pallas_local_attention: bool = True
+    # fused gate-multiply + depthwise-5x5 kernel (kernels/dwconv.py).
+    # Default OFF: measured 139.0 vs 149.4 FPS on the 480p bench — the
+    # in-kernel unaligned sublane shifts and per-band DMA waits cost more
+    # than the XLA form's HBM re-reads. Kept for future tuning.
+    use_pallas_dwconv: bool = False
     # frames per eval dispatch on unlabeled stretches: one lax.scan chunk
     # amortizes the per-dispatch host/tunnel latency across K frames
     # (ROUND_NOTES: ~120 ms RTT on the tunneled backend). The last partial

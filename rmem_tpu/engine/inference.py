@@ -94,9 +94,11 @@ class InferenceEngine:
         # "all" additionally routes DeAOT's local attention to the fused
         # VMEM kernel (inference-only, no VJP needed here)
         if cfg.use_pallas_bank_attention and _jax.default_backend() != "cpu":
-            self.use_pallas = ("all" if (cfg.use_pallas_local_attention
-                                         and cfg.model_vos == "deaot")
-                               else True)
+            if cfg.use_pallas_local_attention and cfg.model_vos == "deaot":
+                self.use_pallas = ("all+dw" if cfg.use_pallas_dwconv
+                                   else "all")
+            else:
+                self.use_pallas = True
         else:
             self.use_pallas = False
         self._donate = donate

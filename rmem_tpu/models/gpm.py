@@ -187,13 +187,13 @@ class GPMBlock(nn.Module):
             q_t, bk, cat_bank_v, slot_mask, self.att_heads,
             need_record=need_record, scale=self.d_att ** -0.5,
             use_pallas=use_pallas)
-        fused_tail = use_pallas == "all"
+        fused_tail = use_pallas == "all+dw"
         cat_tgt2 = self.long_tail(agg, cat_u, size_2d, deterministic,
                                   fused=fused_tail)
 
         cat_local_v = jnp.concatenate([short_v, short_id_v], axis=-1)
         rel = self.relative_emb_k(curr_q)  # from unscaled q (attention.py:314)
-        if use_pallas == "all":
+        if use_pallas in ("all", "all+dw"):
             # fused VMEM-resident kernel; inference only (no VJP)
             from rmem_tpu.kernels.local_attention import \
                 pallas_local_attention
