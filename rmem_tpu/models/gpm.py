@@ -82,16 +82,20 @@ class GatedSelfAttention(nn.Module):
         self.tail = GatedTail(2 * self.d_vu, self.d_vu, name="tail",
                               dtype=dt, unrolled_dw=self.unrolled_dw)
 
-    def __call__(self, x, size_2d, deterministic=True, fused: bool = False):
+    def __call__(self, x, size_2d, deterministic=True, use_pallas=False):
         qk = self.linear_QK(x)
         v1, v2 = jnp.split(x, 2, axis=-1)
         v = silu(interleave_heads(self.linear_V1(v1), self.linear_V2(v2),
                                   self.num_heads))
         u = silu(interleave_heads(self.linear_U1(v1), self.linear_U2(v2),
                                   self.num_heads))
+        # (the flash bank kernel with a single slot was tried here and
+        # measured 148.1 vs 149.4 FPS — the mass-epilogue overhead beats
+        # XLA's fused MHA at this size; keep the einsum form)
         agg = multihead_attention(qk, qk, v, self.num_heads,
                                   scale=self.d_att ** -0.5)
-        return self.tail(agg, u, size_2d, deterministic, fused=fused)
+        return self.tail(agg, u, size_2d, deterministic,
+                         fused=use_pallas == "all+dw")
 
 
 class GPMBlock(nn.Module):
@@ -220,7 +224,7 @@ class GPMBlock(nn.Module):
         cat_in = jnp.concatenate([self.norm2(tgt), self.id_norm2(tgt_id)],
                                  axis=-1)
         cat_out = self.self_attn(cat_in, size_2d, deterministic,
-                                 fused=fused_tail)
+                                 use_pallas=use_pallas)
         tgt2, tgt_id2 = jnp.split(cat_out, 2, axis=-1)
         tgt = tgt + drop_path(tgt2, self.droppath, dp_rng, deterministic)
         tgt_id = tgt_id + drop_path(tgt_id2, self.droppath, dp_rng,
