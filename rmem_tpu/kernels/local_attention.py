@@ -126,6 +126,12 @@ def pallas_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     h = num_heads
     dh = chd // h
     dv = v.shape[-1] // h
+    if (dh % 128 or dv % 128) and not interpret:
+        # Mosaic DMAs slice the lane (channel) dim, which must be
+        # 128-aligned; narrow heads (tiny/CI models) use the XLA form
+        from rmem_tpu.ops.attention import tiled_local_attention
+        return tiled_local_attention(q, k, v, rel_emb, size_2d, num_heads,
+                                     max_dis=max_dis, scale=scale, tile=tile)
     full_win = 2 * max_dis + 1
     m = min(max_dis, h2d - 1, w2d - 1)
     win = 2 * m + 1

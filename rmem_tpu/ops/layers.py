@@ -111,8 +111,9 @@ class _DWKernel5x5(nn.Module):
                             (5, 5, 1, self.features))
         dt = self.dtype or x2.dtype
         k = kernel.astype(dt)
-        if use_pallas and gate2 is not None:
-            # fused gate-multiply + all 25 shifts in VMEM (inference only)
+        if use_pallas and gate2 is not None and self.features % 128 == 0:
+            # fused gate-multiply + all 25 shifts in VMEM (inference only;
+            # lane-dim DMAs need 128-aligned channels)
             from rmem_tpu.kernels.dwconv import pallas_gated_dwconv
             return pallas_gated_dwconv(x2.astype(dt), gate2.astype(dt), k)
         if gate2 is not None:

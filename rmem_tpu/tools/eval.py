@@ -38,6 +38,11 @@ def main():
                         "submission format, reference utils/eval.py)")
     p.add_argument("--opt", nargs="*", default=[], metavar="KEY=VALUE",
                    help="generic config overrides")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the eval "
+                        "loop into DIR (view with TensorBoard/xprof; the "
+                        "TPU-native replacement for the reference's "
+                        "CUDA-event timing, evaluator.py:399-404)")
     args = p.parse_args()
 
     from rmem_tpu.config import Config, get_config
@@ -62,7 +67,15 @@ def main():
     enable_compilation_cache()
     ev = Evaluator(cfg, data_root=args.data_root,
                    output_root=args.output_root, probe=args.probe)
-    stats = ev.evaluate(max_seqs=args.max_seqs, max_frames=args.max_frames)
+    import contextlib
+    if args.profile:
+        import jax
+        trace_cm = jax.profiler.trace(args.profile)
+    else:
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        stats = ev.evaluate(max_seqs=args.max_seqs,
+                            max_frames=args.max_frames)
     if args.probe:
         for i, pr in enumerate(ev.probes):
             print(f"probe[{i}]: {pr.tolist()}")

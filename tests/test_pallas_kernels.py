@@ -167,9 +167,9 @@ from rmem_tpu.ops.attention import tiled_local_attention
 
 
 @pytest.mark.parametrize("h2d,w2d,heads,dh,dv,max_dis", [
-    (17, 23, 1, 64, 128, 7),     # VOS-like odd grid, single head
-    (12, 12, 2, 32, 64, 5),      # multi-head
-    (9, 9, 1, 32, 32, 7),        # window clamped by grid (m < max_dis)
+    (17, 23, 1, 128, 256, 7),    # VOS-like odd grid, single head
+    (12, 12, 2, 128, 128, 5),    # multi-head
+    (9, 9, 1, 128, 128, 7),      # window clamped by grid (m < max_dis)
 ])
 def test_pallas_local_attention_matches_tiled(h2d, w2d, heads, dh, dv,
                                               max_dis):
@@ -191,7 +191,7 @@ def test_pallas_local_attention_matches_tiled(h2d, w2d, heads, dh, dv,
 
 def test_pallas_local_attention_bf16():
     rng = np.random.RandomState(4)
-    h2d, w2d, heads, dh, dv, m = 16, 16, 1, 64, 128, 7
+    h2d, w2d, heads, dh, dv, m = 16, 16, 1, 128, 128, 7
     b, hw = 1, h2d * w2d
     win2 = (2 * m + 1) ** 2
     q = _rand(rng, b, hw, dh, dtype=np.float32).astype(jnp.bfloat16)
