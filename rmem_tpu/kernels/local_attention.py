@@ -77,34 +77,34 @@ def _kernel(q_ref, bias_ref, kp_ref, vp_ref, out_ref, kf, vf, sems, *,
     y0 = (t // tx) * T
     x0 = (t % tx) * T
 
-    copies = []
-    for a in range(halo):
-        ck = pltpu.make_async_copy(
-            kp_ref.at[bh, y0 + a, pl.ds(x0, halo_x), :],
-            kf.at[pl.ds(a * halo_x, halo_x), :], sems.at[0, a])
-        cv = pltpu.make_async_copy(
-            vp_ref.at[bh, y0 + a, pl.ds(x0, halo_x), :],
-            vf.at[pl.ds(a * halo_x, halo_x), :], sems.at[1, a])
-        ck.start()
-        cv.start()
-        copies.append((ck, cv))
+    # ONE window DMA per tensor; the (halo, halo_x, d) -> (halo*halo_x, d)
+    # flatten is layout-free because halo_x is a multiple of the sublane
+    # tile (8), so row-major tile order is unchanged
+    ck = pltpu.make_async_copy(
+        kp_ref.at[bh, pl.ds(y0, halo), pl.ds(x0, halo_x), :], kf,
+        sems.at[0])
+    cv = pltpu.make_async_copy(
+        vp_ref.at[bh, pl.ds(y0, halo), pl.ds(x0, halo_x), :], vf,
+        sems.at[1])
+    ck.start()
+    cv.start()
 
     q = q_ref[0, 0]                                   # [TT, dh], pre-scaled
     bias = bias_ref[0, 0]                             # [TT, HH] f32 + mask
 
-    for ck, _ in copies:
-        ck.wait()
+    ck.wait()
+    kflat = kf[:].reshape(halo * halo_x, dh)
     logits = jax.lax.dot_general(
-        q, kf[:], (((1,), (1,)), ((), ())),
+        q, kflat, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) + bias    # [TT, HH]
     mx = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - mx)
     l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
 
-    for _, cv in copies:
-        cv.wait()
+    cv.wait()
+    vflat = vf[:].reshape(halo * halo_x, dv)
     acc = jax.lax.dot_general(
-        p.astype(vf.dtype), vf[:], (((1,), (0,)), ((), ())),
+        p.astype(vf.dtype), vflat, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # [TT, dv]
     out_ref[0, 0] = (acc / l).astype(out_ref.dtype)
 
@@ -205,9 +205,9 @@ def pallas_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 1, TT, dv), lambda bh, t: (bh, t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, nT, TT, dv), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((HH, dh), k.dtype),
-            pltpu.VMEM((HH, dv), v.dtype),
-            pltpu.SemaphoreType.DMA((2, halo)),
+            pltpu.VMEM((halo, halo_x, dh), k.dtype),
+            pltpu.VMEM((halo, halo_x, dv), v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(qt, bias, kp, vp)
