@@ -281,6 +281,151 @@ def _forward(q, bank_k, bank_v, count, num_heads, scale, tile_q, tile_k,
     return out, rec, lse, geom
 
 
+def _kernel_qminor(count_ref, q_ref, k_ref, v_ref, out_ref, rec_ref,
+                   m_scr, l_scr, acc_scr, mass_scr, o_stage, r_stage, sems,
+                   *, scale: float, lk: int, tk: int, chunks_per_slot: int,
+                   num_slots: int, tq: int):
+    """Query-MINOR grid (bh, s*chunks, q_tiles): each K/V chunk is DMA'd
+    once and every query tile streams past it, with the online-softmax
+    state held for ALL query rows in VMEM scratch. The q-major `_kernel`
+    re-streams the whole bank's V once per query tile (S*Lk*dv bytes x
+    Lq/tq ~= 0.9 ms/frame of pure HBM traffic at eval shapes); this order
+    reads V once per chunk at the cost of an [Lq_pad, dv] f32 accumulator
+    (~7 MB — fits v5e VMEM with tk<=896). Inference-only (the VJP pair
+    keeps the q-major layout)."""
+    bh_ = pl.program_id(0)
+    skv = pl.program_id(1)
+    qt = pl.program_id(2)
+    s = skv // chunks_per_slot
+    c = jax.lax.rem(skv, chunks_per_slot)
+    total_kv = pl.num_programs(1)
+    row = pl.ds(qt * tq, tq)
+
+    @pl.when(skv == 0)
+    def _init():
+        m_scr[row] = jnp.full((tq, 1), NEG_INF, jnp.float32)
+        l_scr[row] = jnp.zeros((tq, 1), jnp.float32)
+        acc_scr[row] = jnp.zeros_like(acc_scr[row])
+        mass_scr[row] = jnp.zeros_like(mass_scr[row])
+
+    @pl.when(s < count_ref[0])
+    def _step():
+        q = q_ref[0]                               # [TQ, dh]
+        k = k_ref[0, 0]                            # [TK, dh]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        key_pos = c * tk + jax.lax.broadcasted_iota(
+            jnp.int32, logits.shape, 1)
+        logits = jnp.where(key_pos < lk, logits, NEG_INF)
+
+        m_prev = m_scr[row]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        psum = jnp.sum(p, axis=-1, keepdims=True)
+
+        l_scr[row] = l_scr[row] * alpha + psum
+        acc_scr[row] = acc_scr[row] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32,
+                                            mass_scr[row].shape, 1)
+        mass_scr[row] = mass_scr[row] * alpha + jnp.where(
+            slot_ids == s, psum, 0.0)
+        m_scr[row] = m_new
+
+    @pl.when(skv == total_kv - 1)
+    def _finalize():
+        # outputs live in ANY (HBM) space — blocked outputs would be
+        # "revisited" under the q-minor grid (same out block touched at
+        # every skv), which Pallas forbids; stage the final values in VMEM
+        # and DMA the q-slice out once. The mass/rec lane dim is padded to
+        # 128 (DMA lane extents must be 128-aligned)
+        l = jnp.maximum(l_scr[row], 1e-30)
+        o_stage[:] = (acc_scr[row] / l).astype(o_stage.dtype)
+        r_stage[:] = (mass_scr[row] / l).astype(r_stage.dtype)
+        co = pltpu.make_async_copy(
+            o_stage, out_ref.at[bh_, row, :], sems.at[0])
+        cr = pltpu.make_async_copy(
+            r_stage, rec_ref.at[bh_, row, :], sems.at[1])
+        co.start()
+        cr.start()
+        co.wait()
+        cr.wait()
+
+
+def _forward_qminor(q, bank_k, bank_v, count, num_heads, scale, tile_q,
+                    tile_k):
+    qh, kh, vh, geom = _layout(q, bank_k, bank_v, num_heads, tile_q, tile_k)
+    s_slots, b, lq, lk, dh, dv, tq, tk, lq_pad, lk_pad = geom
+    chunks = lk_pad // tk
+    bh = b * num_heads
+    grid = (bh, s_slots * chunks, lq_pad // tq)
+
+    kernel = functools.partial(
+        _kernel_qminor, scale=scale, lk=lk, tk=tk, chunks_per_slot=chunks,
+        num_slots=s_slots, tq=tq)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, tq, dh),
+                             lambda bh_, skv, qt, *_: (bh_, qt, 0)),
+                # kv block index is constant across the q-minor axis, so
+                # each chunk is fetched once and reused for every q tile
+                pl.BlockSpec((1, 1, tk, dh),
+                             lambda bh_, skv, qt, cnt:
+                             (jnp.minimum(skv // chunks,
+                                          jnp.maximum(cnt[0] - 1, 0)),
+                              bh_, jax.lax.rem(skv, chunks), 0)),
+                pl.BlockSpec((1, 1, tk, dv),
+                             lambda bh_, skv, qt, cnt:
+                             (jnp.minimum(skv // chunks,
+                                          jnp.maximum(cnt[0] - 1, 0)),
+                              bh_, jax.lax.rem(skv, chunks), 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((lq_pad, 1), jnp.float32),        # m
+                pltpu.VMEM((lq_pad, 1), jnp.float32),        # l
+                pltpu.VMEM((lq_pad, dv), jnp.float32),       # acc
+                pltpu.VMEM((lq_pad, 128), jnp.float32),      # slot mass
+                pltpu.VMEM((tq, dv), bank_v.dtype),          # out staging
+                pltpu.VMEM((tq, 128), jnp.float32),          # rec staging
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lq_pad, dv), bank_v.dtype),
+            jax.ShapeDtypeStruct((bh, lq_pad, 128), jnp.float32),
+        ],
+    )(count.reshape(1).astype(jnp.int32), qh, kh, vh)
+    return outs[0], outs[1][..., :s_slots], geom
+
+
+def pallas_bank_attention_qminor(q, bank_k, bank_v, count, num_heads: int,
+                                 scale: Optional[float] = None,
+                                 tile_q: int = 256, tile_k: int = 896):
+    """Inference-only q-minor bank attention (V streamed once per chunk).
+    Same contract as pallas_bank_attention; no VJP."""
+    import os
+    tile_q = int(os.environ.get("RMEM_BANKI_TQ", tile_q))
+    tile_k = int(os.environ.get("RMEM_BANKI_TK", tile_k))
+    dh = q.shape[-1] // num_heads
+    scale = scale if scale is not None else dh ** -0.5
+    out_bh, rec_bh, geom = _forward_qminor(q, bank_k, bank_v, count,
+                                           num_heads, float(scale),
+                                           int(tile_q), int(tile_k))
+    return _unlayout_out(out_bh, rec_bh, geom, num_heads)
+
+
 def _unlayout_out(out_bh, rec_bh, geom, num_heads):
     s_slots, b, lq, lk, dh, dv, *_ = geom
     out = out_bh[:, :lq].reshape(b, num_heads, lq, dv).transpose(0, 2, 1, 3)

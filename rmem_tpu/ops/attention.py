@@ -347,10 +347,25 @@ def bank_attention_dispatch(q, bank_k, bank_v, slot_mask, num_heads: int,
     the output and the slot-mass record.
     """
     if use_pallas:
-        from rmem_tpu.kernels.bank_attention import pallas_bank_attention
+        import os
         count = jnp.sum(slot_mask.astype(jnp.int32))
-        out, rec = pallas_bank_attention(q, bank_k, bank_v, count, num_heads,
-                                         scale=scale)
+        if (use_pallas in ("all", "all+dw")
+                and os.environ.get("RMEM_BANK_QMINOR")):
+            # q-minor layout (V streamed once per chunk instead of once per
+            # query tile). Measured SLOWER on the 480p bench (152.2 vs
+            # 153.6 FPS): bank attention is transcendental-bound (softmax
+            # exp over Lq x S*Lk logits), not V-bandwidth-bound, so the
+            # bigger accumulator buys nothing. Kept behind this env knob
+            # with the measurement; inference-only (no VJP).
+            from rmem_tpu.kernels.bank_attention import \
+                pallas_bank_attention_qminor
+            out, rec = pallas_bank_attention_qminor(q, bank_k, bank_v,
+                                                    count, num_heads,
+                                                    scale=scale)
+        else:
+            from rmem_tpu.kernels.bank_attention import pallas_bank_attention
+            out, rec = pallas_bank_attention(q, bank_k, bank_v, count,
+                                             num_heads, scale=scale)
         return out, (rec if need_record else None)
     return bank_attention(q, bank_k, bank_v, slot_mask, num_heads,
                           need_record=need_record, scale=scale)

@@ -248,3 +248,26 @@ def test_pallas_gated_dwconv_bf16():
             ref += xp[:, dy:dy + h, dx:dx + w, :] * kn[dy, dx, 0]
     np.testing.assert_allclose(np.asarray(out, np.float32), ref,
                                atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.parametrize("n_valid", [1, 3, 4])
+def test_pallas_bank_attention_qminor_matches_xla(n_valid):
+    from rmem_tpu.kernels.bank_attention import pallas_bank_attention_qminor
+
+    rng = np.random.RandomState(9)
+    s, b, heads, dh, dv = 4, 1, 1, 128, 256
+    lq, lk = 300, 270  # ragged vs both tile sizes
+    q = _rand(rng, b, lq, heads * dh)
+    bk = _rand(rng, s, b, lk, heads * dh)
+    bv = _rand(rng, s, b, lk, heads * dv)
+    mask = jnp.arange(s) < n_valid
+
+    ref_out, ref_rec = bank_attention(q, bk, bv, mask, heads,
+                                      need_record=True)
+    out, rec = _run_pallas(pallas_bank_attention_qminor, q, bk, bv,
+                           jnp.int32(n_valid), heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(ref_rec),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rec).sum(-1), 1.0, atol=1e-4)
