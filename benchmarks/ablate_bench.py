@@ -67,6 +67,15 @@ def _apply_ablation(name):
         def stub(self, agg, gate, size_2d, deterministic=True):
             return self.projection(agg * gate)
         gpm.GatedTail.__call__ = stub
+    elif name == "stem":
+        # zero the stem's output: conv1 (7x7s2 over 3 channels — the
+        # MXU-hostile contraction) + bn + relu + maxpool get DCE'd
+        from rmem_tpu.models.encoders import resnet as rn
+        orig_pool = rn.max_pool_3x3_s2
+
+        def stub(x):
+            return jnp.zeros_like(orig_pool(x))
+        rn.max_pool_3x3_s2 = stub
     elif name == "encoder":
         # constant pyramid: zero out the conv stack but keep shapes by
         # replacing the encoder's apply with broadcast constants
