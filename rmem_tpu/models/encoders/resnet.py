@@ -11,9 +11,56 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from rmem_tpu.ops.layers import FoldedBN, conv, max_pool_3x3_s2
+
+
+class _StemConvS2D(nn.Module):
+    """The 7x7/stride-2/pad-3 stem conv as space-to-depth + 4x4 VALID conv.
+
+    A 3-input-channel 7x7 conv is MXU-hostile (the contraction is 147
+    mostly-padding elements); measured by graph ablation it costs
+    0.94 ms/frame of the 6.5 ms step at 481x849 (ROUND_NOTES r3). The
+    MLPerf-classic rewrite performs the SAME multiply-adds: pad by
+    (4, 3) / (3 + evenness) so the grid is even with one extra zero
+    row/col on top/left, 2x2 space-to-depth to 12 channels, and a 4x4
+    stride-1 VALID conv whose [4,4,2,2,3,64] weights are a static scatter
+    of the original [7,7,3,64] kernel (tap a of the 7-window maps to
+    s2d offset (a+1)//2 with parity (a+1)%2; the (0, parity-0) taps are
+    zero). Parameter path/shape are unchanged (`conv1/kernel`), so
+    checkpoints and the .pth converter are untouched.
+    """
+
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 3, 64))
+        dt = self.dtype or x.dtype
+        k = kernel.astype(dt)
+        x = x.astype(dt)
+        b, h, w, c = x.shape
+        x2 = jnp.pad(x, ((0, 0), (4, 3 + (h % 2 == 0)),
+                         (4, 3 + (w % 2 == 0)), (0, 0)))
+        hp2, wp2 = x2.shape[1], x2.shape[2]
+        s = x2.reshape(b, hp2 // 2, 2, wp2 // 2, 2, c)
+        s = s.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp2 // 2, wp2 // 2,
+                                                  4 * c)
+        w4 = jnp.zeros((4, 4, 2, 2, c, 64), k.dtype)
+        for a in range(7):
+            ua, pa = (a + 1) // 2, (a + 1) % 2
+            for bb in range(7):
+                vb, qb = (bb + 1) // 2, (bb + 1) % 2
+                w4 = w4.at[ua, vb, pa, qb].set(k[a, bb])
+        w4 = w4.reshape(4, 4, 4 * c, 64)
+        y = jax.lax.conv_general_dilated(
+            s, w4, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out_h, out_w = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+        return y[:, :out_h, :out_w]
 
 
 class Bottleneck(nn.Module):
@@ -54,11 +101,20 @@ class ResNet(nn.Module):
 
     layers: Sequence[int] = (3, 4, 6, 3)
     dtype: object = None
+    # OFF by default: the rewrite is exact (test_stem_s2d_matches_plain_conv)
+    # but measured SLOWER end-to-end on the v5e 480p bench (147.1 vs 153.6
+    # FPS) — the stem's 0.94 ms ablation figure evidently includes layout
+    # effects the s2d form doesn't remove, and the full-res pad+reshape+
+    # transpose adds its own traffic. Kept for co-located-host retuning.
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
-        x = conv(64, 7, stride=2, bias=False, name="conv1",
-                 dtype=self.dtype)(x)
+        if self.stem_s2d:
+            x = _StemConvS2D(name="conv1", dtype=self.dtype)(x)
+        else:
+            x = conv(64, 7, stride=2, bias=False, name="conv1",
+                     dtype=self.dtype)(x)
         x = FoldedBN(64, name="bn1")(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
