@@ -56,15 +56,20 @@ def _apply_ablation(name):
         gpm.bank_attention_dispatch = stub
     elif name == "local":
         def stub(q, k, v, rel, size_2d, heads, max_dis=7, scale=None,
-                 tile=None):
+                 tile=None, **kw):
             return jnp.zeros(q.shape[:-1] + (v.shape[-1],), q.dtype)
+        # patch BOTH formulations: the production config routes through the
+        # Pallas kernel (use_pallas='all'), which GPMBlock imports from its
+        # module at call time
         gpm.tiled_local_attention = stub
+        from rmem_tpu.kernels import local_attention as la
+        la.pallas_local_attention = stub
     elif name == "self_attn":
-        def stub(self, x, size_2d, deterministic=True):
+        def stub(self, x, size_2d, deterministic=True, **kw):
             return jnp.zeros(x.shape[:-1] + (self.d_vu,), x.dtype)
         gpm.GatedSelfAttention.__call__ = stub
     elif name in ("dwconv", "tails"):
-        def stub(self, agg, gate, size_2d, deterministic=True):
+        def stub(self, agg, gate, size_2d, deterministic=True, **kw):
             return self.projection(agg * gate)
         gpm.GatedTail.__call__ = stub
     elif name == "stem":

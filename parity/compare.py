@@ -45,8 +45,14 @@ def main() -> None:
     args = ap.parse_args()
 
     # mask-only comparisons (e.g. the fused multi-aug production path emits
-    # no probes) may run without npz files
+    # no probes) may run without npz files — but make the degradation LOUD
+    # so a typo'd path can't masquerade as a perfect probe pass
     have_probes = os.path.isfile(args.ref) and os.path.isfile(args.ours)
+    if not have_probes:
+        missing = [p for p in (args.ref, args.ours)
+                   if not os.path.isfile(p)]
+        print(f"NOTE: probe npz missing ({missing}); MASK-ONLY comparison "
+              "— no logit diff was computed")
     ref = np.load(args.ref) if have_probes else None
     ours = np.load(args.ours) if have_probes else None
     c = args.obj_num + 1
@@ -88,7 +94,10 @@ def main() -> None:
     if args.report:
         with open(args.report, "a") as f:
             f.write(text + "\n")
-    print(f"WORST max|dlogit| = {worst:.6g}")
+    if have_probes:
+        print(f"WORST max|dlogit| = {worst:.6g}")
+    else:
+        print("WORST max|dlogit| = n/a (mask-only run)")
 
 
 if __name__ == "__main__":

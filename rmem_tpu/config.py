@@ -170,7 +170,9 @@ class Config:
     # fused gate-multiply + depthwise-5x5 kernel (kernels/dwconv.py).
     # Default OFF: measured 139.0 vs 149.4 FPS on the 480p bench — the
     # in-kernel unaligned sublane shifts and per-band DMA waits cost more
-    # than the XLA form's HBM re-reads. Kept for future tuning.
+    # than the XLA form's HBM re-reads. Kept for future tuning. Only takes
+    # effect together with use_pallas_local_attention=True (it rides the
+    # same "all+dw" dispatch mode).
     use_pallas_dwconv: bool = False
     # frames per eval dispatch on unlabeled stretches: one lax.scan chunk
     # amortizes the per-dispatch host/tunnel latency across K frames

@@ -394,10 +394,14 @@ class BatchLoader:
         self._stop.set()
 
 
-def _proc_worker(dataset, batch_size, max_obj, seed, q):
-    """Child-process loop: decode + augment batches off the GIL."""
+def _proc_worker(dataset, batch_size, max_obj, seed, q, stop):
+    """Child-process loop: decode + augment batches off the GIL. `stop` is
+    the shutdown sentinel: puts use a timeout so a worker never blocks
+    indefinitely mid-put, and exits cleanly once stop is set (terminating a
+    process blocked in Queue.put can corrupt the queue for later gets)."""
+    import queue as q_mod
     rng = np.random.RandomState(seed)
-    while True:
+    while not stop.is_set():
         imgs, labels, obj_nums = [], [], []
         for _ in range(batch_size):
             im, lb, n = dataset.sample_clip(rng)
@@ -406,8 +410,14 @@ def _proc_worker(dataset, batch_size, max_obj, seed, q):
             imgs.append(im)
             labels.append(lb)
             obj_nums.append(min(n, max_obj))
-        q.put({"imgs": np.stack(imgs), "labels": np.stack(labels),
-               "obj_nums": np.asarray(obj_nums, np.int32)})
+        batch = {"imgs": np.stack(imgs), "labels": np.stack(labels),
+                 "obj_nums": np.asarray(obj_nums, np.int32)}
+        while not stop.is_set():
+            try:
+                q.put(batch, timeout=0.5)
+                break
+            except q_mod.Full:
+                continue
 
 
 class ProcessBatchLoader:
@@ -426,10 +436,11 @@ class ProcessBatchLoader:
         # picklable path/list holders)
         ctx = mp.get_context(start_method)
         self._q = ctx.Queue(maxsize=max(prefetch, num_workers))
+        self._stop = ctx.Event()
         self._procs = [
             ctx.Process(target=_proc_worker,
                         args=(dataset, batch_size, max_obj,
-                              seed + 31 * i, self._q),
+                              seed + 31 * i, self._q, self._stop),
                         daemon=True)
             for i in range(num_workers)
         ]
@@ -443,20 +454,22 @@ class ProcessBatchLoader:
         return self._q.get()
 
     def close(self):
-        # Workers may be blocked mid-put on the shared queue; terminating
-        # them in that state can corrupt the queue's feeder for later gets.
-        # Drain first so blocked puts complete, detach our feeder, then
-        # terminate.
-        try:
+        # sentinel-based shutdown: workers put with a timeout and re-check
+        # the stop event, so none can be stuck mid-put when we reap them;
+        # terminate() is only the fallback for a worker wedged in decode
+        self._stop.set()
+        try:  # free any worker currently waiting on a full queue
             while True:
                 self._q.get_nowait()
         except Exception:
             pass
+        for p in self._procs:
+            p.join(timeout=3)
+        for p in self._procs:
+            if p.is_alive():
+                p.terminate()
+                p.join(timeout=2)
         self._q.cancel_join_thread()
-        for p in self._procs:
-            p.terminate()
-        for p in self._procs:
-            p.join(timeout=2)
         try:
             self._q.close()
         except Exception:

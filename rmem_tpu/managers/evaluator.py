@@ -372,117 +372,122 @@ class Evaluator:
         # depth-1 upload pipeline: chunk i+1's H2D streams on its thread
         # while chunk i's dispatched scan computes on device
         uploader = _ChunkPipeline()
-        for frame_idx, frame, imgs in self._prefetch(seq, max_frames,
-                                                     prep=not dev_prep):
-            n_processed += 1
-            ori_h, ori_w = frame.image.shape[:2]
-            obj_idx = frame.obj_idx
-            if frame_idx == 0:
-                t_wall0 = time.perf_counter()
-                if dev_prep and frame.image.dtype != np.uint8:
-                    dev_prep = False  # float frames -> exact host path
-                in_hws = tuple(
-                    restrict_size(ori_h, ori_w, cfg.test_max_size,
-                                  cfg.test_min_size, aug.scale,
-                                  cfg.model_align_corners)
-                    for aug in self.augs)
-                if imgs is None:
+        try:
+            for frame_idx, frame, imgs in self._prefetch(seq, max_frames,
+                                                         prep=not dev_prep):
+                n_processed += 1
+                ori_h, ori_w = frame.image.shape[:2]
+                obj_idx = frame.obj_idx
+                if frame_idx == 0:
+                    t_wall0 = time.perf_counter()
+                    if dev_prep and frame.image.dtype != np.uint8:
+                        dev_prep = False  # float frames -> exact host path
+                    in_hws = tuple(
+                        restrict_size(ori_h, ori_w, cfg.test_max_size,
+                                      cfg.test_min_size, aug.scale,
+                                      cfg.model_align_corners)
+                        for aug in self.augs)
+                    if imgs is None:
+                        imgs = [self._prep_frame(frame.image, aug)
+                                for aug in self.augs]
+                    groups = max(int(np.ceil(frame.obj_num
+                                             / cfg.model_max_obj_num)), 1)
+                    states = []
+                    for ai, aug in enumerate(self.augs):
+                        hw = imgs[ai].shape[1:3]
+                        lab = self._prep_label(frame.label, hw, aug.flip)
+                        glabels = separate_mask(jnp.asarray(lab[None]), groups,
+                                                cfg.model_max_obj_num)
+                        st, _ = self.engine.add_reference(
+                            imgs[ai], glabels,
+                            self._group_obj_nums(frame.obj_num, groups),
+                            frame_step=0, gap=gap)
+                        states.append(st)
+                    self._save_first(seq, frame, ori_h, ori_w)
+                    continue
+                if imgs is None and not dev_prep:
                     imgs = [self._prep_frame(frame.image, aug)
                             for aug in self.augs]
-                groups = max(int(np.ceil(frame.obj_num
-                                         / cfg.model_max_obj_num)), 1)
-                states = []
-                for ai, aug in enumerate(self.augs):
-                    hw = imgs[ai].shape[1:3]
-                    lab = self._prep_label(frame.label, hw, aug.flip)
-                    glabels = separate_mask(jnp.asarray(lab[None]), groups,
-                                            cfg.model_max_obj_num)
-                    st, _ = self.engine.add_reference(
-                        imgs[ai], glabels,
-                        self._group_obj_nums(frame.obj_num, groups),
-                        frame_step=0, gap=gap)
-                    states.append(st)
-                self._save_first(seq, frame, ori_h, ori_w)
-                continue
-            if imgs is None and not dev_prep:
-                imgs = [self._prep_frame(frame.image, aug)
-                        for aug in self.augs]
-            if self.probe:
-                t0 = time.perf_counter()
-                states[0], logits4 = self.engine.propagate(states[0],
-                                                           imgs[0])
-                logits = self.engine.predict_logits_at(logits4,
-                                                       (ori_h, ori_w))
-                py, px = min(100, ori_h - 1), min(100, ori_w - 1)
-                self.probes.append(
-                    np.asarray(logits[0, py, px, :7], np.float32))
-                merged = soft_logit_aggregation(logits,
-                                                cfg.model_max_obj_num)
-                label = jnp.argmax(merged, -1).astype(jnp.int32)
-                lab_in = self._prep_label(np.asarray(label, np.uint8),
-                                          imgs[0].shape[1:3], False)
-                states[0] = self.engine.update_memory(
-                    states[0], separate_mask(jnp.asarray(lab_in[None]),
-                                             states[0].short_k.shape[1],
-                                             cfg.model_max_obj_num))
-                pending.append(([frame.name], (ori_h, ori_w), label[None]))
-                seconds += time.perf_counter() - t0
-                continue  # probe path keeps per-dispatch accounting
-            if frame.label is not None:
-                # segment boundary (mid-video annotation, evaluator.py:
-                # 484-508): drain the chunk pipeline, handle the labeled
-                # frame with one per-aug propagate + GT merge +
-                # re-reference, then resume chunk-scanning
-                for names, k, dev in uploader.drain():
+                if self.probe:
+                    t0 = time.perf_counter()
+                    states[0], logits4 = self.engine.propagate(states[0],
+                                                               imgs[0])
+                    logits = self.engine.predict_logits_at(logits4,
+                                                           (ori_h, ori_w))
+                    py, px = min(100, ori_h - 1), min(100, ori_w - 1)
+                    self.probes.append(
+                        np.asarray(logits[0, py, px, :7], np.float32))
+                    merged = soft_logit_aggregation(logits,
+                                                    cfg.model_max_obj_num)
+                    label = jnp.argmax(merged, -1).astype(jnp.int32)
+                    lab_in = self._prep_label(np.asarray(label, np.uint8),
+                                              imgs[0].shape[1:3], False)
+                    states[0] = self.engine.update_memory(
+                        states[0], separate_mask(jnp.asarray(lab_in[None]),
+                                                 states[0].short_k.shape[1],
+                                                 cfg.model_max_obj_num))
+                    pending.append(([frame.name], (ori_h, ori_w), label[None]))
+                    seconds += time.perf_counter() - t0
+                    continue  # probe path keeps per-dispatch accounting
+                if frame.label is not None:
+                    # segment boundary (mid-video annotation, evaluator.py:
+                    # 484-508): drain the chunk pipeline, handle the labeled
+                    # frame with one per-aug propagate + GT merge +
+                    # re-reference, then resume chunk-scanning
+                    for names, k, dev in uploader.drain():
+                        states, labels = self._dispatch_chunk(
+                            states, dev, k, (ori_h, ori_w), flips, in_hws,
+                            dev_prep)
+                        pending.append((names, (ori_h, ori_w), labels))
+                    # the partial chunk before the boundary CANNOT be padded
+                    # (padding repeats the last frame, whose memory updates
+                    # would corrupt the state the labeled frame propagates
+                    # from — padding is only safe at sequence end where the
+                    # state dies); run its frames as unpadded K=1 scans
+                    for item in buf:
+                        names, k, host = self._chunk_host([item], dev_prep,
+                                                          pad_to=1)
+                        states, labels = self._dispatch_chunk(
+                            states, jax.device_put(host), k, (ori_h, ori_w),
+                            flips, in_hws, dev_prep)
+                        pending.append((names, (ori_h, ori_w), labels))
+                    buf = []
+                    if imgs is None:
+                        imgs = [self._prep_frame(frame.image, aug)
+                                for aug in self.augs]
+                    states, merged_label, groups = self._midvideo_reref(
+                        states, frame, imgs, gap, frame_idx, groups)
+                    pending.append(([frame.name], (ori_h, ori_w),
+                                    merged_label[None]))
+                    continue
+                # accumulate a chunk, then ONE lax.scan dispatch for all K
+                # frames (the per-dispatch tunnel RTT would otherwise dominate
+                # end-to-end FPS); submit() hands the stacked chunk to the
+                # upload thread and returns previously uploaded chunks, which
+                # are dispatched here — so upload(i+1), compute(i) and host
+                # decode(i+2) all overlap
+                buf.append((frame.name, frame.image if dev_prep else imgs))
+                if len(buf) < max(cfg.eval_scan_chunk, 1):
+                    continue
+                for names, k, dev in uploader.submit(
+                        *self._chunk_host(buf, dev_prep)):
                     states, labels = self._dispatch_chunk(
-                        states, dev, k, (ori_h, ori_w), flips, in_hws,
-                        dev_prep)
-                    pending.append((names, (ori_h, ori_w), labels))
-                # the partial chunk before the boundary CANNOT be padded
-                # (padding repeats the last frame, whose memory updates
-                # would corrupt the state the labeled frame propagates
-                # from — padding is only safe at sequence end where the
-                # state dies); run its frames as unpadded K=1 scans
-                for item in buf:
-                    names, k, host = self._chunk_host([item], dev_prep,
-                                                      pad_to=1)
-                    states, labels = self._dispatch_chunk(
-                        states, jax.device_put(host), k, (ori_h, ori_w),
-                        flips, in_hws, dev_prep)
+                        states, dev, k, (ori_h, ori_w), flips, in_hws, dev_prep)
                     pending.append((names, (ori_h, ori_w), labels))
                 buf = []
-                if imgs is None:
-                    imgs = [self._prep_frame(frame.image, aug)
-                            for aug in self.augs]
-                states, merged_label, groups = self._midvideo_reref(
-                    states, frame, imgs, gap, frame_idx, groups)
-                pending.append(([frame.name], (ori_h, ori_w),
-                                merged_label[None]))
-                continue
-            # accumulate a chunk, then ONE lax.scan dispatch for all K
-            # frames (the per-dispatch tunnel RTT would otherwise dominate
-            # end-to-end FPS); submit() hands the stacked chunk to the
-            # upload thread and returns previously uploaded chunks, which
-            # are dispatched here — so upload(i+1), compute(i) and host
-            # decode(i+2) all overlap
-            buf.append((frame.name, frame.image if dev_prep else imgs))
-            if len(buf) < max(cfg.eval_scan_chunk, 1):
-                continue
-            for names, k, dev in uploader.submit(
-                    *self._chunk_host(buf, dev_prep)):
+            ready = []
+            if buf and not self.probe:
+                ready += uploader.submit(*self._chunk_host(buf, dev_prep))
+                buf = []
+            for names, k, dev in ready + uploader.drain():
                 states, labels = self._dispatch_chunk(
                     states, dev, k, (ori_h, ori_w), flips, in_hws, dev_prep)
                 pending.append((names, (ori_h, ori_w), labels))
-            buf = []
-        ready = []
-        if buf and not self.probe:
-            ready += uploader.submit(*self._chunk_host(buf, dev_prep))
-            buf = []
-        for names, k, dev in ready + uploader.drain():
-            states, labels = self._dispatch_chunk(
-                states, dev, k, (ori_h, ori_w), flips, in_hws, dev_prep)
-            pending.append((names, (ori_h, ori_w), labels))
-        uploader.close()
+        finally:
+            # exceptions mid-sequence must not strand the upload
+            # thread (it would hold device buffers for the process
+            # lifetime)
+            uploader.close()
         if pending:
             # hard sync: materialize the final chunk (block_until_ready is
             # unreliable on the tunneled backend — ROUND_NOTES); dispatches

@@ -94,11 +94,8 @@ def main():
     cfg = get_config(args.stage, model=args.model)
     params = None
     if args.ckpt:
-        from rmem_tpu.models import build_vos_model, init_params, \
-            load_model_params
-        import jax
+        from rmem_tpu.models import build_vos_model, load_model_params
         model = build_vos_model(cfg.model_vos, cfg)
-        params = init_params(model, jax.random.PRNGKey(0), tuple(args.hw))
         params = load_model_params(model, args.ckpt)
 
     exported, _, _ = build_exported(cfg, params, tuple(args.hw),
