@@ -357,3 +357,31 @@ def test_evaluator_midvideo_label_fused_matches_slow(tmp_path):
     for i, (a, b) in enumerate(zip(*outs)):
         mismatch = float((a != b).mean())
         assert mismatch <= 1e-4, f"frame {i} mask mismatch {mismatch}"
+
+
+def test_chunk_pipeline_order_and_errors():
+    """_ChunkPipeline: submission order preserved, depth-1 backpressure,
+    and upload errors surface at the next pop instead of vanishing."""
+    from rmem_tpu.managers.evaluator import _ChunkPipeline
+
+    p = _ChunkPipeline()
+    ready = []
+    for i in range(4):
+        ready += p.submit([f"f{i}"], 1, np.full((2, 2), i, np.float32))
+    ready += p.drain()
+    p.close()
+    assert [r[0] for r in ready] == [["f0"], ["f1"], ["f2"], ["f3"]]
+    assert all(float(np.asarray(r[2])[0, 0]) == i
+               for i, r in enumerate(ready))
+
+    # an unuploadable payload surfaces as an exception on pop
+    p2 = _ChunkPipeline()
+    p2.submit(["bad"], 1, object())
+    try:
+        p2.drain()
+        raised = False
+    except Exception:
+        raised = True
+    finally:
+        p2.close()
+    assert raised
