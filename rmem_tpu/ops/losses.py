@@ -44,7 +44,12 @@ def cross_entropy_topk(logits: jnp.ndarray, label: jnp.ndarray,
     logits, _ = _valid_class_logits(logits, obj_num)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     lbl = jnp.clip(label, 0, c - 1)
-    pix = -jnp.take_along_axis(logp, lbl[..., None], axis=-1)[..., 0]
+    # one-hot masked reduce instead of take_along_axis: the [HW]-point
+    # gather from [H,W,C] was 84 ms/step on the profiled train step
+    # (recomputed again under remat in the backward); summing one selected
+    # value with zeros is bit-identical and fuses into the log_softmax
+    pix = -jnp.sum(jnp.where(lbl[..., None] == jnp.arange(c), logp, 0.0),
+                   axis=-1)
     pix = jnp.where(label == IGNORE_LABEL, 0.0, pix)
     pix = pix.reshape(-1)
 
@@ -52,7 +57,11 @@ def cross_entropy_topk(logits: jnp.ndarray, label: jnp.ndarray,
     k = jnp.floor((ratio * top_k_percent + (1.0 - ratio)) * num_pixels)
     k = jnp.maximum(k, 1.0)
 
-    sorted_desc = -jnp.sort(-pix)
+    # name the sort result so the frame-scan remat policy can SAVE it: the
+    # 216k-element TPU sort costs ~45 ms/step when recomputed in the
+    # backward, vs ~1 MB/frame of residuals when stored
+    from jax.ad_checkpoint import checkpoint_name
+    sorted_desc = checkpoint_name(-jnp.sort(-pix), "topk_sorted")
     take = (jnp.arange(num_pixels) < k).astype(jnp.float32)
     return jnp.sum(sorted_desc * take) / k
 
