@@ -60,16 +60,22 @@ def measure(model_name, batch, seq, remat, use_pallas, steps, cfgkw):
     }
     shuffle = host_id_shuffle_matrix(rng, cfg.model_max_obj_num + 1, batch)
 
+    # device-resident inputs: the Trainer overlaps H2D with compute via its
+    # background feeder (the reference's DataLoader-worker equivalent), so
+    # steady-state step time excludes the upload. Timing a per-step
+    # device_put here would measure the TUNNEL instead (the 588 MB batch-4
+    # input swings 7-26 s/it with the hour's bandwidth — ROUND_NOTES r3).
+    batch_dev = jax.device_put(batch_np)
+    shuffle_dev = jnp.asarray(shuffle)
+
     t_c0 = time.perf_counter()
-    state, metrics = step_fn(state, jax.device_put(batch_np),
-                             jnp.asarray(shuffle))
+    state, metrics = step_fn(state, batch_dev, shuffle_dev)
     loss = float(np.asarray(metrics["loss"]))
     compile_s = time.perf_counter() - t_c0
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, metrics = step_fn(state, jax.device_put(batch_np),
-                                 jnp.asarray(shuffle))
+        state, metrics = step_fn(state, batch_dev, shuffle_dev)
         loss = float(np.asarray(metrics["loss"]))  # hard sync
     s_it = (time.perf_counter() - t0) / steps
     assert np.isfinite(loss)
