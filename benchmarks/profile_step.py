@@ -37,15 +37,16 @@ EVAL_HW = (481, 849)
 # ordered: first match wins
 COMPONENT_PATTERNS = [
     ("encoder", r"/encoder/"),
-    ("bank_attention", r"bank_attention|pallas_bank|dot_general.*lstt.*long"
-                       r"|custom-call"),
+    ("bank_attention", r"bank_attention|pallas_bank|pallas_call"),
     ("local_attention", r"local_attention|tiled_local|halo"),
     ("self_attention", r"self_attn"),
     ("gated_tails", r"long_tail|short_tail|/tail/|dw_conv"),
     ("decoder_fpn", r"/decoder/|fpn"),
     ("id_bank", r"patch_wise_id_bank|id_emb"),
     ("losses", r"loss|jaccard|cross_entropy|top_k"),
-    ("optimizer", r"adam|optimizer|ema|weight_decay|clip"),
+    # word-ish boundaries: a bare 'ema' matches 'r-EMA-tted_computation'
+    ("optimizer", r"adam|optimizer|/ema_|ema_update|weight_decay"
+                  r"|clip_by_global_norm|global_norm"),
     ("resize_argmax", r"resize|interp|argmax|one_hot"),
     ("lstt_other", r"lstt|block\d"),
 ]

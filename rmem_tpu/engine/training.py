@@ -258,15 +258,15 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
     if remat == "full":
         body = jax.checkpoint(frame_body)
     elif remat == "dots":
-        # dots + the named top-k sort residual: re-sorting 216k pixel
-        # losses in the backward costs ~45 ms/step on a v5e at reference
-        # scale, vs ~1 MB/frame to store (losses.py 'topk_sorted')
+        # dots + the named top-k mask residual: without it the backward
+        # re-runs the 216k-pixel loss sort per frame (~86 ms/step at
+        # reference scale) vs ~1 MB/frame to store (losses.py 'topk_mask')
         body = jax.checkpoint(
             frame_body,
             policy=jax.checkpoint_policies.save_from_both_policies(
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                 jax.checkpoint_policies.save_only_these_names(
-                    "topk_sorted")))
+                    "topk_mask")))
     else:
         body = frame_body
     carry_out, (losses, ious) = jax.lax.scan(body, carry0, scan_data)

@@ -57,13 +57,19 @@ def cross_entropy_topk(logits: jnp.ndarray, label: jnp.ndarray,
     k = jnp.floor((ratio * top_k_percent + (1.0 - ratio)) * num_pixels)
     k = jnp.maximum(k, 1.0)
 
-    # name the sort result so the frame-scan remat policy can SAVE it: the
-    # 216k-element TPU sort costs ~45 ms/step when recomputed in the
-    # backward, vs ~1 MB/frame of residuals when stored
+    # top-k as a stop-gradient selection MASK (torch.topk semantics: the
+    # gradient is 1/k on exactly the selected pixels). Differentiating
+    # jnp.sort would re-sort in the BACKWARD pass (the sort transpose
+    # needs the permutation) — ~86 ms/step at reference scale; here ONE
+    # sort_key_val produces values and permutation, the mask is scattered
+    # back to pixel order under stop_gradient, and it is a named remat
+    # residual (~1 MB/frame) so the backward recomputes neither sort.
     from jax.ad_checkpoint import checkpoint_name
-    sorted_desc = checkpoint_name(-jnp.sort(-pix), "topk_sorted")
+    _, perm = jax.lax.sort_key_val(-pix, jnp.arange(num_pixels))
     take = (jnp.arange(num_pixels) < k).astype(jnp.float32)
-    return jnp.sum(sorted_desc * take) / k
+    mask = jnp.zeros(num_pixels, jnp.float32).at[perm].set(take)
+    mask = checkpoint_name(jax.lax.stop_gradient(mask), "topk_mask")
+    return jnp.sum(mask * pix) / k
 
 
 def soft_jaccard(logits: jnp.ndarray, label: jnp.ndarray,

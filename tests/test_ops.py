@@ -176,3 +176,41 @@ def test_resize_cubic_matches_cv2():
         want = cv2.resize(img, (w1, h1), interpolation=cv2.INTER_CUBIC)
         got = np.asarray(resize_cubic(jnp.asarray(img[None]), (h1, w1))[0])
         np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_cross_entropy_topk_gradient_matches_torch():
+    """The stop-gradient mask formulation must reproduce torch.topk's
+    backward: 1/k flows to exactly the selected pixels (value equality is
+    covered above; this pins the gradient path)."""
+    import torch
+
+    from rmem_tpu.ops.losses import cross_entropy_topk
+
+    rng = np.random.RandomState(5)
+    h, w, c = 9, 11, 4
+    logits_np = rng.randn(h, w, c).astype(np.float32)
+    label_np = rng.randint(0, 3, (h, w)).astype(np.int32)
+    label_np[0, :3] = 255  # some ignored pixels
+    step = 9999.0  # fully annealed -> top 15%
+
+    def loss_fn(lg):
+        return cross_entropy_topk(lg, jnp.asarray(label_np),
+                                  jnp.asarray(2), jnp.float32(step),
+                                  top_k_percent=0.15,
+                                  hard_mining_steps=10_000.0)
+
+    g = np.asarray(jax.grad(loss_fn)(jnp.asarray(logits_np)))
+
+    # torch reference: reduction='none' CE, topk, mean -> autograd
+    t_logits = torch.tensor(logits_np, requires_grad=True)
+    t_label = torch.tensor(label_np.astype(np.int64))
+    lg = t_logits.clone()
+    lg[..., 3] = -1e30  # mask class beyond obj_num=2 like _valid_class_logits
+    ce = torch.nn.functional.cross_entropy(
+        lg.reshape(-1, c), t_label.reshape(-1), ignore_index=255,
+        reduction="none")
+    k = int(np.floor(0.15 * h * w))
+    top, _ = torch.topk(ce, k)
+    top.mean().backward()
+    ref = t_logits.grad.numpy()
+    np.testing.assert_allclose(g, ref, atol=1e-5, rtol=1e-4)
