@@ -259,8 +259,8 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
         body = jax.checkpoint(frame_body)
     elif remat == "dots":
         # dots + the named top-k mask residual: without it the backward
-        # re-runs the 216k-pixel loss sort per frame (~86 ms/step at
-        # reference scale) vs ~1 MB/frame to store (losses.py 'topk_mask')
+        # re-runs the 216k-pixel radix select per frame vs ~216 KB/frame
+        # of bool mask to store (losses.py 'topk_mask')
         body = jax.checkpoint(
             frame_body,
             policy=jax.checkpoint_policies.save_from_both_policies(
