@@ -190,6 +190,15 @@ class Config:
     # (benchmarks/train_bench.py). Auto-falls-back to the XLA path on the
     # CPU backend (interpret mode would be needed there).
     use_pallas_bank_attention_train: bool = True
+    # training local attention through the Pallas kernel forward with an
+    # XLA-VJP backward (kernels/local_attention.py:
+    # pallas_local_attention_trainable). Default OFF: measured 0.294 vs
+    # 0.286 s/it (batch-1 465x465 seq-17, dots remat) — at the train grid
+    # (59x59) the kernel's fwd win does not cover the bwd's extra XLA
+    # forward recompute, unlike eval (61x107) where the kernel is +8 FPS.
+    # DeAOT only (AOT's short-term attention is global); same backend gate
+    # as the bank-attention train kernel.
+    use_pallas_local_attention_train: bool = False
     # depthwise-conv formulation: unrolled 25 shift-adds (fast inference)
     # vs grouped conv (smaller training graph). The trainer overrides this
     # to False when building its model; params are interchangeable.

@@ -56,6 +56,12 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
     use_pallas = (cfg.use_pallas_bank_attention_train == "force"
                   or (cfg.use_pallas_bank_attention_train is True
                       and jax.default_backend() != "cpu"))
+    # "train_all" additionally routes DeAOT's local attention through the
+    # Pallas-forward/XLA-backward wrapper (narrow-channel models fall back
+    # inside the kernel; AOT/LSTT has no local attention path)
+    if (use_pallas is True and cfg.use_pallas_local_attention_train
+            and cfg.model_vos == "deaot"):
+        use_pallas = "train_all"
     b, t = imgs.shape[:2]
     hw_in = imgs.shape[2:4]
     deterministic = dp_rng is None

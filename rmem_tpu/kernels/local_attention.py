@@ -239,3 +239,47 @@ def pallas_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     out = out.transpose(0, 2, 4, 3, 5, 1, 6).reshape(
         b, ty * T, tx * T, h * dv)
     return out[:, :h2d, :w2d].reshape(b, hw, h * dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def pallas_local_attention_trainable(q, k, v, rel_emb, size_2d, num_heads,
+                                     max_dis=7, scale=None,
+                                     interpret=False):
+    """Differentiable local attention: Pallas forward, XLA-VJP backward.
+
+    The fused kernel above has no hand-written backward; rather than leave
+    the TRAIN graph on the XLA tile-halo form entirely (which pays the
+    ~1 ms/frame halo-patch materialization twice — once in the forward
+    scan and again in the dots-remat recompute), this wrapper runs the
+    VMEM-resident kernel for every forward execution and derives gradients
+    by transposing the math-identical XLA formulation at the saved inputs.
+    Total work per train frame: 2x Pallas fwd (fwd + remat) + 1x XLA
+    fwd+bwd, vs 2x XLA fwd + 1x XLA bwd before — the delta is two
+    halo materializations saved. Gradients are exact (both forms compute
+    the same function; see tests/test_pallas_kernels.py).
+    """
+    return pallas_local_attention(q, k, v, rel_emb, size_2d, num_heads,
+                                  max_dis=max_dis, scale=scale,
+                                  interpret=interpret)
+
+
+def _trainable_fwd(q, k, v, rel_emb, size_2d, num_heads, max_dis, scale,
+                   interpret):
+    out = pallas_local_attention(q, k, v, rel_emb, size_2d, num_heads,
+                                 max_dis=max_dis, scale=scale,
+                                 interpret=interpret)
+    return out, (q, k, v, rel_emb)
+
+
+def _trainable_bwd(size_2d, num_heads, max_dis, scale, interpret, res, g):
+    from rmem_tpu.ops.attention import tiled_local_attention
+    q, k, v, rel_emb = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, r_: tiled_local_attention(
+            q_, k_, v_, r_, size_2d, num_heads, max_dis=max_dis,
+            scale=scale),
+        q, k, v, rel_emb)
+    return vjp(g)
+
+
+pallas_local_attention_trainable.defvjp(_trainable_fwd, _trainable_bwd)

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Dict, List, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from rmem_tpu.ops.attention import (bank_attention_dispatch,
@@ -197,19 +198,27 @@ class GPMBlock(nn.Module):
 
         cat_local_v = jnp.concatenate([short_v, short_id_v], axis=-1)
         rel = self.relative_emb_k(curr_q)  # from unscaled q (attention.py:314)
-        if use_pallas in ("all", "all+dw"):
-            # fused VMEM-resident kernel; inference only (no VJP)
-            from rmem_tpu.kernels.local_attention import \
-                pallas_local_attention
-            agg3 = pallas_local_attention(curr_q, short_k, cat_local_v, rel,
-                                          size_2d, self.att_heads,
-                                          max_dis=MAX_LOCAL_DIS,
-                                          scale=self.d_att ** -0.5)
-        else:
-            agg3 = tiled_local_attention(curr_q, short_k, cat_local_v, rel,
-                                         size_2d, self.att_heads,
-                                         max_dis=MAX_LOCAL_DIS,
-                                         scale=self.d_att ** -0.5)
+        with jax.named_scope("local_attention"):  # profile attribution
+            if use_pallas == "train_all":
+                # differentiable form: Pallas forward + XLA-VJP backward
+                from rmem_tpu.kernels.local_attention import \
+                    pallas_local_attention_trainable
+                agg3 = pallas_local_attention_trainable(
+                    curr_q, short_k, cat_local_v, rel, size_2d,
+                    self.att_heads, MAX_LOCAL_DIS, self.d_att ** -0.5)
+            elif use_pallas in ("all", "all+dw"):
+                # fused VMEM-resident kernel; inference only (no VJP)
+                from rmem_tpu.kernels.local_attention import \
+                    pallas_local_attention
+                agg3 = pallas_local_attention(
+                    curr_q, short_k, cat_local_v, rel, size_2d,
+                    self.att_heads, max_dis=MAX_LOCAL_DIS,
+                    scale=self.d_att ** -0.5)
+            else:
+                agg3 = tiled_local_attention(
+                    curr_q, short_k, cat_local_v, rel, size_2d,
+                    self.att_heads, max_dis=MAX_LOCAL_DIS,
+                    scale=self.d_att ** -0.5)
         cat_tgt3 = self.short_tail(agg3, cat_u, size_2d, deterministic,
                                    fused=fused_tail)
 

@@ -119,9 +119,10 @@ def segmentation_loss(logits: jnp.ndarray, label: jnp.ndarray,
 
     logits [B,H,W,C] (full-resolution, already upsampled), label [B,H,W].
     """
-    ce = jax.vmap(lambda lg, lb, on: cross_entropy_topk(
-        lg, lb, on, step, top_k_percent, hard_mining_steps))(
-        logits, label, obj_nums)
-    jac = jax.vmap(lambda lg, lb, on: soft_jaccard(lg, lb, on))(
-        logits, label, obj_nums)
-    return ce_weight * ce + jaccard_weight * jac
+    with jax.named_scope("seg_loss"):  # profile attribution (profile_step)
+        ce = jax.vmap(lambda lg, lb, on: cross_entropy_topk(
+            lg, lb, on, step, top_k_percent, hard_mining_steps))(
+            logits, label, obj_nums)
+        jac = jax.vmap(lambda lg, lb, on: soft_jaccard(lg, lb, on))(
+            logits, label, obj_nums)
+        return ce_weight * ce + jaccard_weight * jac

@@ -207,6 +207,39 @@ def test_pallas_local_attention_bf16():
                                atol=5e-2, rtol=5e-2)
 
 
+def test_pallas_local_attention_trainable_grad_matches_xla():
+    """The train-path wrapper (Pallas fwd, XLA-VJP bwd): value matches the
+    kernel, gradients match differentiating the XLA tile-halo form."""
+    from rmem_tpu.kernels.local_attention import \
+        pallas_local_attention_trainable
+    rng = np.random.RandomState(7)
+    h2d, w2d, heads, dh, dv, m = 12, 12, 1, 128, 128, 5
+    b, hw = 1, h2d * w2d
+    win2 = (2 * m + 1) ** 2
+    q = _rand(rng, b, hw, heads * dh)
+    k = _rand(rng, b, hw, heads * dh)
+    v = _rand(rng, b, hw, heads * dv)
+    rel = _rand(rng, b, hw, heads * win2) * 0.3
+
+    def loss_pallas(q_, k_, v_, r_):
+        out = pallas_local_attention_trainable(q_, k_, v_, r_, (h2d, w2d),
+                                               heads, m, None, True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_xla(q_, k_, v_, r_):
+        out = tiled_local_attention(q_, k_, v_, r_, (h2d, w2d), heads,
+                                    max_dis=m)
+        return jnp.sum(jnp.sin(out))
+
+    val_p, grads_p = jax.value_and_grad(loss_pallas, (0, 1, 2, 3))(
+        q, k, v, rel)
+    val_x, grads_x = jax.value_and_grad(loss_xla, (0, 1, 2, 3))(q, k, v, rel)
+    np.testing.assert_allclose(float(val_p), float(val_x), rtol=2e-4)
+    for gp, gx, name in zip(grads_p, grads_x, "qkvr"):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   atol=3e-4, rtol=3e-4, err_msg=name)
+
+
 def test_pallas_gated_dwconv_matches_unrolled():
     from rmem_tpu.kernels.dwconv import pallas_gated_dwconv
 
