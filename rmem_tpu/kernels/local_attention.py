@@ -195,21 +195,13 @@ def pallas_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qt = q4.reshape(b * h, ty, T, tx, T, dh).transpose(0, 1, 3, 2, 4, 5)
     qt = qt.reshape(b * h, nT, TT, dh)
 
-    # bias in halo space: row i of a tile occupies halo rows [i, i+2m]
-    # (separable (i, T-1-i) pads), with the static window+image mask folded
-    r = rel_emb.reshape(b, h2d, w2d, h, win, win).astype(jnp.float32)
-    r = jnp.pad(r, ((0, 0), (0, hp), (0, wp), (0, 0), (0, 0), (0, 0)))
-    r = r.reshape(b, ty, T, tx, T, h, win, win)
-    r = jnp.stack([jnp.pad(r[:, :, i],
-                           ((0, 0),) * 5 + ((i, T - 1 - i), (0, 0)))
-                   for i in range(T)], axis=2)
-    r = jnp.stack([jnp.pad(r[:, :, :, :, j],
-                           ((0, 0),) * 6 + ((j, halo_x - win - j),))
-                   for j in range(T)], axis=4)
-    # [b, nT, h, TT, HH] -> [b*h, nT, TT, HH]
-    r = r.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b, nT, h, TT, HH)
+    # bias in halo space via the shared one-hot-matmul scatter (replaces
+    # the 2xT stacked-pad build that measured ~0.47 ms/frame on the eval
+    # profile), with the static window+image mask folded on top
+    from rmem_tpu.ops.attention import scatter_rel_bias
+    bias = scatter_rel_bias(rel_emb, size_2d, h, T, m, halo_x, hp, wp)
     ok = jnp.asarray(_static_mask(h2d, w2d, T, m, halo_x))[None, :, None]
-    bias = jnp.where(ok, r, NEG_INF)
+    bias = jnp.where(ok, bias, NEG_INF)
     bias = bias.transpose(0, 2, 1, 3, 4).reshape(b * h, nT, TT, HH)
 
     kernel = functools.partial(_kernel, T=T, m=m, tx=tx, nT=nT, halo=halo,

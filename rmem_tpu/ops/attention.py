@@ -219,6 +219,50 @@ def windowed_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(b, hw, num_heads * dv)
 
 
+def scatter_rel_bias(rel_emb: jnp.ndarray, size_2d: Tuple[int, int],
+                     num_heads: int, T: int, m: int, halo_x: int,
+                     hp: int, wp: int) -> jnp.ndarray:
+    """Per-query [win, win] relative bias -> halo space, as ONE one-hot
+    MXU matmul per in-tile query position.
+
+    Query (i, j) of a tile maps window slot (wy, wx) to halo cell
+    (i+wy, j+wx); the mapping is static and shared by every tile/batch/
+    head, so the whole scatter is an einsum against a [T^2, win^2, HH]
+    one-hot operand (built in-graph from a small index constant). The
+    previous 2xT stacked-pad build measured ~0.47 ms/frame on the eval
+    profile — pure HBM rearrangement the MXU does in a single pass.
+
+    rel_emb [b, hw, heads*win^2] (win = 2m+1, already clamped);
+    returns [b, nT, heads, T^2, (T+2m)*halo_x] f32 (0 at unmapped cells).
+    halo_x >= T+2m allows the Pallas kernel's sublane-aligned x-halo.
+    """
+    h2d, w2d = size_2d
+    b = rel_emb.shape[0]
+    win = 2 * m + 1
+    w2 = win * win
+    ty, tx = -(-h2d // T), -(-w2d // T)
+    TT, HH = T * T, (T + 2 * m) * halo_x
+    r = rel_emb.reshape(b, h2d, w2d, num_heads, w2)
+    r = jnp.pad(r, ((0, 0), (0, hp), (0, wp), (0, 0), (0, 0)))
+    r = r.reshape(b, ty, T, tx, T, num_heads, w2)
+    r = r.transpose(0, 1, 3, 5, 2, 4, 6).reshape(b, ty * tx, num_heads,
+                                                 TT, w2)
+    qi, qj = np.divmod(np.arange(TT), T)          # query pos within tile
+    wy, wx = np.divmod(np.arange(w2), win)        # window slot
+    tgt = ((qi[:, None] + wy[None, :]) * halo_x
+           + qj[:, None] + wx[None, :]).astype(np.int32)   # [TT, w2]
+    # bf16 operands with f32 accumulation on TPU (native MXU mode); the
+    # XLA:CPU dot thunk lacks BF16xBF16=F32, so CPU upcasts (the values
+    # are bf16-born under the default compute dtype either way)
+    et = (jnp.bfloat16 if (r.dtype == jnp.bfloat16
+                           and jax.default_backend() != "cpu")
+          else jnp.float32)
+    onehot = (jnp.asarray(tgt)[:, :, None] ==
+              jnp.arange(HH)[None, None, :]).astype(et)    # [TT, w2, HH]
+    return jnp.einsum("bnhpw,pwq->bnhpq", r.astype(et), onehot,
+                      preferred_element_type=jnp.float32)
+
+
 def tiled_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           rel_emb: jnp.ndarray, size_2d: Tuple[int, int],
                           num_heads: int, max_dis: int = 7,
@@ -312,19 +356,10 @@ def tiled_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                                   > 0.5)
     logits = jnp.where(ok, logits, NEG_INF)
 
-    # scatter the per-query [win, win] bias into halo space: row i of a
-    # tile occupies halo rows [i, i+2m] -> a (i, T-1-i) pad; separable in x
-    r = rel_emb.reshape(b, h2d, w2d, num_heads, win, win).astype(jnp.float32)
-    r = jnp.pad(r, ((0, 0), (0, hp), (0, wp), (0, 0), (0, 0), (0, 0)))
-    r = r.reshape(b, ty, T, tx, T, num_heads, win, win)
-    r = jnp.stack([jnp.pad(r[:, :, i],
-                           ((0, 0),) * 5 + ((i, T - 1 - i), (0, 0)))
-                   for i in range(T)], axis=2)            # win_y -> halo_y
-    r = jnp.stack([jnp.pad(r[:, :, :, :, j],
-                           ((0, 0),) * 6 + ((j, T - 1 - j),))
-                   for j in range(T)], axis=4)            # win_x -> halo_x
-    r = r.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
-        b, ty * tx, num_heads, T * T, halo * halo)
+    # scatter the per-query [win, win] bias into halo space with one
+    # one-hot MXU matmul per query position (scatter_rel_bias)
+    r = scatter_rel_bias(rel_emb, (h2d, w2d), num_heads, T, m, halo,
+                         hp, wp)
     logits = logits + r
 
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
