@@ -24,6 +24,60 @@ def _trunc05(key, shape, dtype=jnp.float32):
     return nn.initializers.truncated_normal(stddev=0.05)(key, shape, dtype)
 
 
+class _PatchWiseIdBank(nn.Module):
+    """The 17x17/s16 (align_corners) or 16x16/s16 mask-embedding conv
+    (reference aot.py:64-83) as tile+halo patch extraction + ONE MXU
+    matmul.
+
+    nn.Conv on the 12-channel one-hot input runs at <10% MXU utilization
+    (the contraction dim pads 12 -> 128 lanes) and spends two thirds of
+    its time in layout rearrangement — 0.58 ms of the 6.1 ms eval frame
+    (profile_step --mode eval, 'id_bank' component). Flattening each
+    k*k*12-long patch into the contraction dim feeds the MXU properly.
+    Stride 16 means patches only overlap by one row/column (k=17), so the
+    extraction is a blocked reshape plus one halo row and column — no
+    unfold blow-up. The param tree matches nn.Conv ('kernel' [k,k,in,out],
+    'bias' [out]): checkpoints and the .pth converter are unchanged.
+    """
+
+    features: int
+    kernel_size: int      # 17 (align_corners, pad 8) or 16 (pad 0)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        b, h, w, c = x.shape
+        kernel = self.param("kernel",
+                            nn.initializers.orthogonal(scale=k ** -2),
+                            (k, k, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        if k == 17:
+            oh, ow = (h - 1) // 16 + 1, (w - 1) // 16 + 1
+            hp_, wp_ = 16 * oh + 1, 16 * ow + 1
+            xp = jnp.pad(x, ((0, 0), (8, max(0, hp_ - 8 - h)),
+                             (8, max(0, wp_ - 8 - w)), (0, 0)))
+            xp = xp[:, :hp_, :wp_]
+            # output row i covers padded rows [16i, 16i+17): 16-row blocks
+            # plus the next block's first row as the halo (same in x)
+            rows = jnp.concatenate(
+                [xp[:, :16 * oh].reshape(b, oh, 16, wp_, c),
+                 xp[:, 16::16][:, :, None]], axis=2)      # [b,oh,17,wp,c]
+            pat = jnp.concatenate(
+                [rows[:, :, :, :16 * ow].reshape(b, oh, 17, ow, 16, c),
+                 rows[:, :, :, 16::16][:, :, :, :, None]], axis=4)
+            pat = pat.transpose(0, 1, 3, 2, 4, 5)       # [b,oh,ow,17,17,c]
+        else:
+            oh, ow = h // 16, w // 16
+            pat = x[:, :16 * oh, :16 * ow].reshape(b, oh, 16, ow, 16, c)
+            pat = pat.transpose(0, 1, 3, 2, 4, 5)
+        pat = pat.reshape(b, oh, ow, k * k * c)
+        out = pat @ kernel.reshape(k * k * c, self.features).astype(dt)
+        return out + bias.astype(dt)
+
+
 class AOT(nn.Module):
     cfg: Config
 
@@ -48,12 +102,11 @@ class AOT(nn.Module):
             dtype=self.dtype,
         )
         # 17x17/s16 conv embedding the one-hot (+ignore) mask (aot.py:64-83)
+        # — as a patch matmul (see _PatchWiseIdBank)
         k = 17 if cfg.model_align_corners else 16
-        pad = 8 if cfg.model_align_corners else 0
-        self.patch_wise_id_bank = nn.Conv(
-            c, (k, k), strides=(16, 16), padding=((pad, pad), (pad, pad)),
-            kernel_init=nn.initializers.orthogonal(scale=k ** -2),
-            name="patch_wise_id_bank", dtype=self.dtype)
+        self.patch_wise_id_bank = _PatchWiseIdBank(
+            features=c, kernel_size=k, name="patch_wise_id_bank",
+            dtype=self.dtype)
         if cfg.use_temporal_positional_embedding:
             pe_dim = self._temporal_pe_dim()
             slots = 4 if cfg.temporal_positional_embedding_slot_4 else 2

@@ -48,16 +48,22 @@ def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh):
     return {k: jax.device_put(v, s) for k, v in batch.items()}
 
 
-def make_parallel_train_step(step_fn, mesh: Mesh):
-    """jit the train step with explicit shardings: state replicated, batch
-    and per-sample shuffle sharded on 'data'. XLA auto-inserts the gradient
-    all-reduce."""
-    rep = replicated(mesh)
+def make_parallel_train_step(step_fn, mesh: Mesh, state_template=None):
+    """jit the train step with explicit shardings: batch and per-sample
+    shuffle sharded on 'data'; state replicated, OR — when the mesh has a
+    'model' axis and a state template is given — tensor-parallel
+    megatron-style param/EMA/moment shardings (parallel/tp.py). XLA
+    auto-inserts the gradient all-reduce (and the row-parallel psums)."""
     bsh = batch_sharding(mesh)
+    if "model" in mesh.axis_names and state_template is not None:
+        from rmem_tpu.parallel.tp import state_shardings
+        ssh = state_shardings(state_template, mesh)
+    else:
+        ssh = replicated(mesh)
     return jax.jit(
         step_fn,
-        in_shardings=(rep, {"imgs": bsh, "labels": bsh, "obj_nums": bsh},
+        in_shardings=(ssh, {"imgs": bsh, "labels": bsh, "obj_nums": bsh},
                       bsh),
-        out_shardings=(rep, rep),
+        out_shardings=(ssh, replicated(mesh)),
         donate_argnums=(0,),
     )

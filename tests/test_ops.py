@@ -214,3 +214,36 @@ def test_cross_entropy_topk_gradient_matches_torch():
     top.mean().backward()
     ref = t_logits.grad.numpy()
     np.testing.assert_allclose(g, ref, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k,h,w", [
+    (17, 33, 49),    # align_corners grid (16n+1)
+    (17, 16, 31),    # height smaller than one padded patch span
+    (16, 32, 48),    # align_corners=False: stride == kernel
+    (16, 33, 50),    # non-multiple-of-16 -> VALID crop
+])
+def test_patch_wise_id_bank_matches_conv(k, h, w):
+    """_PatchWiseIdBank (patch extraction + one matmul) must equal the
+    nn.Conv it replaces, sharing the exact same param tree."""
+    import flax.linen as nn
+
+    from rmem_tpu.models.aot import _PatchWiseIdBank
+
+    rng = np.random.RandomState(11)
+    c_in, c_out = 12, 32
+    x = jnp.asarray(rng.rand(2, h, w, c_in).astype(np.float32))
+
+    pad = 8 if k == 17 else 0
+    conv = nn.Conv(c_out, (k, k), strides=(16, 16),
+                   padding=((pad, pad), (pad, pad)))
+    mine = _PatchWiseIdBank(features=c_out, kernel_size=k)
+
+    params = mine.init(jax.random.PRNGKey(0), x)["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)) * 0.1,
+        params)
+    ref = conv.apply({"params": params}, x)
+    out = mine.apply({"params": params}, x)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

@@ -85,6 +85,56 @@ def test_parallel_train_step_multidev():
     assert int(state.step) == 1
 
 
+def test_parallel_train_step_tensor_parallel():
+    """dp x tp on a ('data','model') mesh: megatron-style shardings on the
+    GPM self-attention block (parallel/tp.py). The step must (a) actually
+    shard the annotated kernels over 'model', (b) produce the same loss as
+    the replicated data-parallel step (GSPMD partitions the same math),
+    and (c) keep the shardings through the update (out_shardings)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4+ virtual devices")
+    from jax.sharding import PartitionSpec as P
+
+    cfg = get_config("test", model="tiny_deaotl", train_total_steps=100)
+    model = build_vos_model(cfg.model_vos, cfg)
+    params = init_params(model, jax.random.PRNGKey(0), HW)
+    tx = make_optimizer(params, cfg)
+    from rmem_tpu.ops.masks import host_id_shuffle_matrix
+    shuffle = jnp.asarray(host_id_shuffle_matrix(np.random.RandomState(0),
+                                                 11, 2))
+
+    # fresh buffers for the second run up front: the steps donate arg 0
+    params2 = jax.tree_util.tree_map(jnp.array, params)
+
+    # reference: plain 2-way data-parallel
+    state = TrainState.create(params, cfg)
+    mesh_dp = make_mesh((2,), ("data",))
+    pstep = make_parallel_train_step(make_train_step(model, cfg, tx),
+                                     mesh_dp)
+    st_dp, m_dp = pstep(state, shard_batch(_batch(2, 2), mesh_dp), shuffle)
+
+    # dp x tp
+    state2 = TrainState.create(params2, cfg)
+    mesh = make_mesh((2, 2), ("data", "model"))
+    pstep2 = make_parallel_train_step(make_train_step(model, cfg, tx),
+                                      mesh, state_template=state2)
+    st_tp, m_tp = pstep2(state2, shard_batch(_batch(2, 2), mesh), shuffle)
+
+    assert np.isfinite(float(m_tp["loss"]))
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_dp["loss"]),
+                               rtol=2e-3)
+    blk = st_tp.params["lstt"]["block0"]["self_attn"]
+    v1 = blk["linear_V1"]["kernel"]
+    proj = blk["tail"]["projection"]["kernel"]
+    assert v1.sharding.spec == P(None, "model"), v1.sharding
+    assert proj.sharding.spec == P("model", None), proj.sharding
+    # updated params still match the replicated run where replicated
+    enc = np.asarray(st_tp.params["encoder_projector"]["kernel"])
+    np.testing.assert_allclose(
+        enc, np.asarray(st_dp.params["encoder_projector"]["kernel"]),
+        atol=2e-5)
+
+
 def test_train_forward_gru_memory_gets_gradients():
     """With GRU_MEMORY the training scan must run ConvGRU compression (the
     reference's restrict_long_memories compresses at train time too,
