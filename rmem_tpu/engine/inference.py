@@ -118,6 +118,20 @@ class InferenceEngine:
                                 method=method, **kw)
 
     def _id_emb(self, params, label, shuffle=None):
+        if shuffle is None:
+            # hard labels, no id-shuffle (the eval path): skip the HWC
+            # one-hot entirely — the id bank takes the int label plane and
+            # one-hots in patch space (models/aot.py:_PatchWiseIdBank).
+            # 255-ignore maps to channel obj+1 when the ignore token
+            # exists (apply_ignore_token: bg zeroed + ignore channel set
+            # == exactly one-hot of index obj+1); without the ignore
+            # token, index obj+1 is out of range and one-hots to zero —
+            # identical to one_hot_mask's all-zero row at 255.
+            if label.ndim == 4:
+                label = label[..., 0]
+            lbl = jnp.where(label == 255, self.cfg.model_max_obj_num + 1,
+                            label).astype(jnp.int32)
+            return self._apply(params, type(self.model).get_id_emb, lbl)
         oh, ig = one_hot_mask(label, self.cfg.model_max_obj_num)
         full = apply_ignore_token(oh, ig, shuffle) \
             if self.cfg.model_ignore_token else oh

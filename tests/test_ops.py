@@ -247,3 +247,33 @@ def test_patch_wise_id_bank_matches_conv(k, h, w):
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("ignore_token", [True, False])
+def test_patch_wise_id_bank_label_path(ignore_token):
+    """The int-label fast path (one-hot built in patch space) must equal
+    the float path fed the engine's one_hot_mask(+apply_ignore_token)
+    output — including 255-ignore pixels and conv zero padding."""
+    from rmem_tpu.models.aot import _PatchWiseIdBank
+    from rmem_tpu.ops.masks import apply_ignore_token, one_hot_mask
+
+    rng = np.random.RandomState(13)
+    h, w, max_obj = 33, 49, 3
+    in_c = max_obj + 1 + int(ignore_token)
+    labels = rng.randint(0, max_obj + 1, (2, h, w)).astype(np.int32)
+    labels[0, :5, :7] = 255                      # ignore patch
+    label = jnp.asarray(labels)
+
+    mine = _PatchWiseIdBank(features=32, kernel_size=17, in_channels=in_c)
+    oh_f, ig = one_hot_mask(label, max_obj)
+    full = apply_ignore_token(oh_f, ig) if ignore_token else oh_f
+    params = mine.init(jax.random.PRNGKey(1), full)["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)) * 0.1,
+        params)
+
+    ref = mine.apply({"params": params}, full)
+    lbl = jnp.where(label == 255, max_obj + 1, label).astype(jnp.int32)
+    out = mine.apply({"params": params}, lbl)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
