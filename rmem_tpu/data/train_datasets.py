@@ -476,9 +476,43 @@ class ProcessBatchLoader:
             pass
 
 
+class InlineBatchLoader:
+    """Synchronous loader for num_workers=0 (torch DataLoader semantics:
+    0 workers = load in the caller's thread). Without this, a 0-worker
+    BatchLoader has nothing feeding its queue and `__next__` blocks
+    forever."""
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0,
+                 max_obj: int = 10):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_obj = max_obj
+        self._rng = np.random.RandomState(seed)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        imgs, labels, obj_nums = [], [], []
+        for _ in range(self.batch_size):
+            im, lb, n = self.dataset.sample_clip(self._rng)
+            lb = np.where((lb > self.max_obj) & (lb != 255),
+                          0, lb).astype(np.int32)
+            imgs.append(im)
+            labels.append(lb)
+            obj_nums.append(min(n, self.max_obj))
+        return {"imgs": np.stack(imgs), "labels": np.stack(labels),
+                "obj_nums": np.asarray(obj_nums, np.int32)}
+
+    def close(self):
+        pass
+
+
 def make_batch_loader(dataset, batch_size: int, seed: int = 0,
                       max_obj: int = 10, prefetch: int = 4,
                       num_workers: int = 4, use_processes: bool = False):
+    if num_workers <= 0:
+        return InlineBatchLoader(dataset, batch_size, seed, max_obj)
     cls = ProcessBatchLoader if use_processes else BatchLoader
     if use_processes:
         return cls(dataset, batch_size, seed, max_obj, prefetch,

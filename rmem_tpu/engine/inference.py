@@ -84,9 +84,23 @@ class InferenceEngine:
     stays resident. One compilation per (image size, group count)."""
 
     def __init__(self, model, params, cfg: Config, need_record: bool = True,
-                 donate: bool = True):
+                 donate: bool = True, cast_params: bool = True):
         import jax as _jax
         self.model = model
+        if cast_params and cfg.compute_dtype == "bfloat16":
+            # Pre-cast float params to the compute dtype ONCE. Halves the
+            # resident param HBM footprint (~100 MB f32 -> ~50 MB for
+            # r50_deaotl) and removes the per-frame weight converts from
+            # the graph. Measured A/B on the fused eval scan: FPS unchanged
+            # within noise (179.5 vs 181.8 — XLA already fuses the weight
+            # casts into consumers), so this is a memory win, not a speed
+            # win. Modules that pin dtype=float32 (fpn conv_out) just cast
+            # the (already bf16-rounded) weight back up; the suite's
+            # engine/golden tests pass unchanged.
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params)
         self.params = params
         self.cfg = cfg
         self.need_record = need_record and not cfg.no_long_memory

@@ -282,6 +282,29 @@ def test_process_batch_loader():
         loader.close()
 
 
+def test_inline_batch_loader_zero_workers():
+    """num_workers=0 loads synchronously in the caller's thread (torch
+    DataLoader semantics, train.py --data_workers 0); previously a 0-worker
+    BatchLoader had no feeder and __next__ blocked forever."""
+    from rmem_tpu.data.train_datasets import (InlineBatchLoader,
+                                              SyntheticTrainDataset,
+                                              make_batch_loader)
+
+    ds = SyntheticTrainDataset(seq_len=3, hw=HW)
+    loader = make_batch_loader(ds, batch_size=2, num_workers=0)
+    assert isinstance(loader, InlineBatchLoader)
+    try:
+        for _ in range(2):
+            b = next(loader)
+            assert b["imgs"].shape == (2, 3, *HW, 3)
+            assert b["labels"].shape == (2, 3, *HW)
+            assert b["labels"].dtype == np.int32
+            assert b["obj_nums"].shape == (2,)
+            assert (b["obj_nums"] <= 10).all()
+    finally:
+        loader.close()
+
+
 def test_train_forward_reverse_infer_cond_gated():
     """REVERSE_INFER (aot_engine.py:371-396): the consistency loss is added
     ONLY on gap-boundary frames (via lax.cond, so non-boundary frames skip
