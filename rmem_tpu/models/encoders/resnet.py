@@ -8,6 +8,7 @@ folded affine (see rmem_tpu.ops.layers.FoldedBN). NHWC throughout.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import flax.linen as nn
@@ -63,6 +64,46 @@ class _StemConvS2D(nn.Module):
         return y[:, :out_h, :out_w]
 
 
+class _StemConvIm2col(nn.Module):
+    """7x7/s2/pad3 stem as explicit im2col + ONE MXU matmul.
+
+    The plain conv runs at ~2% MFU — with Cin=3 the MXU contraction
+    occupies 3 of 128 lanes — and cost 0.54 ms/frame at 481x849 in the r3
+    eval profile, plus ~0.1 ms of layout copies around it. Here the 49
+    taps are gathered once into a [B, Ho, Wo, 147] patch tensor (one
+    fused strided-slice concat, ~30 MB bf16 written once) and contracted
+    with the [147, 64] reshaped kernel in a single dot, so K=147 fills a
+    full MXU pass. Same multiply-adds, same `conv1/kernel` [7,7,3,64]
+    param (checkpoints/converter untouched); exactness pinned by
+    test_stem_im2col_matches_plain_conv."""
+
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 3, 64))
+        dt = self.dtype or x.dtype
+        k = kernel.astype(dt).reshape(49 * 3, 64)
+        # materialize the normalized image once: without the barrier the
+        # normalize chain fuses into the 49-slice concat and is recomputed
+        # per tap read.
+        x = jax.lax.optimization_barrier(x.astype(dt))
+        b, h, w, c = x.shape
+        ho, wo = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        taps = []
+        for dy in range(7):
+            for dx in range(7):
+                taps.append(jax.lax.slice(
+                    xp, (0, dy, dx, 0),
+                    (b, dy + 2 * (ho - 1) + 1, dx + 2 * (wo - 1) + 1, c),
+                    (1, 2, 2, 1)))
+        # concat order (dy, dx, c) matches kernel.reshape(147, 64)
+        patches = jnp.concatenate(taps, axis=-1)
+        return jnp.einsum("bhwk,ko->bhwo", patches, k)
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride/dilation) -> 1x1(x4) with projection shortcut
     (resnet.py:10-68)."""
@@ -101,17 +142,24 @@ class ResNet(nn.Module):
 
     layers: Sequence[int] = (3, 4, 6, 3)
     dtype: object = None
-    # OFF by default: the rewrite is exact (test_stem_s2d_matches_plain_conv)
-    # but measured SLOWER end-to-end on the v5e 480p bench (147.1 vs 153.6
-    # FPS) — the stem's 0.94 ms ablation figure evidently includes layout
-    # effects the s2d form doesn't remove, and the full-res pad+reshape+
-    # transpose adds its own traffic. Kept for co-located-host retuning.
-    stem_s2d: bool = False
+    # Three exact formulations of the same stem (identical params/math).
+    # The plain conv wins on this chip despite running its Cin=3
+    # contraction at ~2% MFU (0.54 ms/frame of the 5.1 ms 481x849 step,
+    # r3 profile): both rewrites lose MORE to full-res data formatting
+    # than they gain on the MXU — "s2d" (space-to-depth + 4x4 conv)
+    # measured 147.1 vs 153.6 FPS, and "im2col" (49 stride-2 slices ->
+    # [.,.,147] patch tensor -> one K=147 matmul) measured 90.6 vs 183.0:
+    # stride-2 slices in the sublane dim lower to per-tap relayout copies
+    # that dwarf the conv. Override via RMEM_STEM for co-located retuning.
+    stem: str = "conv"
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
-        if self.stem_s2d:
+        variant = os.environ.get("RMEM_STEM", self.stem)
+        if variant == "s2d":
             x = _StemConvS2D(name="conv1", dtype=self.dtype)(x)
+        elif variant == "im2col":
+            x = _StemConvIm2col(name="conv1", dtype=self.dtype)(x)
         else:
             x = conv(64, 7, stride=2, bias=False, name="conv1",
                      dtype=self.dtype)(x)

@@ -118,7 +118,14 @@ class _DWKernel5x5(nn.Module):
             return pallas_gated_dwconv(x2.astype(dt), gate2.astype(dt), k)
         if gate2 is not None:
             x2 = x2 * gate2
-        xp = jnp.pad(x2.astype(dt), ((0, 0), (2, 2), (2, 2), (0, 0)))
+        # Materialize the gated input ONCE before the 25 shifted reads.
+        # Without the barrier XLA fuses the producer chain (gate silu,
+        # attention epilogue) into the tap loop and recomputes it per tap:
+        # the nine eval-step dwconv fusions each cost 1.55 ms/30 frames
+        # (profile r3), ~25x the bandwidth cost of re-reading a
+        # materialized 0.9 MB bf16 map.
+        x2 = jax.lax.optimization_barrier(x2.astype(dt))
+        xp = jnp.pad(x2, ((0, 0), (2, 2), (2, 2), (0, 0)))
         h, w = x2.shape[1:3]
         out = jnp.zeros(x2.shape, jnp.float32)
         for dy in range(5):

@@ -79,6 +79,28 @@ def test_topdown_encoder_modes():
         assert np.isfinite(float(vloss)) and float(vloss) > 0
 
 
+def test_stem_im2col_matches_plain_conv():
+    """The im2col+matmul stem (the eval default) performs the same
+    multiply-adds as the plain 7x7/s2/pad3 conv (same `conv1/kernel`
+    param) at odd AND even sizes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rmem_tpu.models.encoders.resnet import _StemConvIm2col
+    from rmem_tpu.ops.layers import conv
+
+    rng = np.random.RandomState(1)
+    for h, w in ((33, 49), (32, 48), (31, 54)):
+        x = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32))
+        k = jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32) * 0.1)
+        ref = conv(64, 7, stride=2, bias=False).apply(
+            {"params": {"kernel": k}}, x)
+        out = _StemConvIm2col().apply({"params": {"kernel": k}}, x)
+        assert out.shape == ref.shape, (h, w, out.shape, ref.shape)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
 def test_stem_s2d_matches_plain_conv():
     """The space-to-depth stem performs the same multiply-adds as the plain
     7x7/s2/pad3 conv (same `conv1/kernel` param) at odd AND even sizes."""
