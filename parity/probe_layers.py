@@ -153,13 +153,12 @@ def main() -> None:
             temporal_encoding=t_te)
         t_logits2 = tmodel.decode_id_logits(t_out2, t_xs2)
 
-    lk, lv, liv, sk, sv, siv = model.apply(
+    lk, lv, sk, sv = model.apply(
         {"params": params}, j_mems, j_id,
         method=type(model).write_memories)
-    bank_tuple = ((lk[:, None], lv[:, None], liv[:, None])
-                  if liv is not None else (lk[:, None], lv[:, None]))
+    bank_tuple = (lk[:, None], lv[:, None])
     mask1 = jnp.asarray([True])
-    short = (sk, sv, siv) if siv is not None else (sk, sv)
+    short = (sk, sv)
     j_xs2 = model.apply({"params": params}, jnp.asarray(
         img2.transpose(0, 2, 3, 1)), method=type(model).encode_image)
     feat2 = j_xs2[-1].reshape(1, eh * ew, -1)

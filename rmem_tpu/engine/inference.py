@@ -38,8 +38,8 @@ class EngineState:
 
     bank: MemoryBank
     short_k: jnp.ndarray                    # [L, B, HW, Ck]
-    short_v: jnp.ndarray                    # [L, B, HW, Cv]
-    short_id_v: Optional[jnp.ndarray]       # [L, B, HW, Cv] (DeAOT)
+    short_v: jnp.ndarray                    # [L, B, HW, Cv]; DeAOT stores
+                                            # [V, ID_V] concatenated
     mems: Dict[str, jnp.ndarray]            # pending emissions from propagate
     record: Optional[jnp.ndarray]           # [B, HW, S] slot attention mass
     logits4x: jnp.ndarray                   # [B, H/4, W/4, obj+1] masked
@@ -152,13 +152,9 @@ class InferenceEngine:
         return self._apply(params, type(self.model).get_id_emb, full)
 
     def _bank_tuple(self, bank: MemoryBank):
-        if bank.id_v is not None:
-            return (bank.k, bank.v, bank.id_v)
         return (bank.k, bank.v)
 
     def _short_tuple(self, state: EngineState):
-        if state.short_id_v is not None:
-            return (state.short_k, state.short_v, state.short_id_v)
         return (state.short_k, state.short_v)
 
     def _decode(self, params, intermediates, xs, obj_nums):
@@ -192,15 +188,13 @@ class InferenceEngine:
         intermediates, mems, _ = self._apply(
             params, type(self.model).lstt_forward, feat, None, None, None,
             id_emb, self_pos, cur_pe, mem_pe, (eh, ew))
-        lk, lv, liv, sk, sv, siv = self._apply(
+        lk, lv, sk, sv = self._apply(
             params, type(self.model).write_memories, mems, id_emb)
 
         bank = init_bank(
             num_layers=lk.shape[0], capacity=cfg.max_mem_slots, batch=b,
-            hw=hw, ck=lk.shape[-1], cv=lv.shape[-1],
-            cid=(liv.shape[-1] if liv is not None else None),
-            dtype=lk.dtype)
-        bank = bank_append(bank, lk, lv, liv)
+            hw=hw, ck=lk.shape[-1], cv=lv.shape[-1], dtype=lk.dtype)
+        bank = bank_append(bank, lk, lv)
 
         logits = self._decode(params, intermediates, xs, obj_nums)
         ghk = ghv = None
@@ -214,7 +208,7 @@ class InferenceEngine:
         record0 = (jnp.zeros((b, hw, cfg.max_mem_slots), jnp.float32)
                    if self.need_record else None)
         state = EngineState(
-            bank=bank, short_k=sk, short_v=sv, short_id_v=siv,
+            bank=bank, short_k=sk, short_v=sv,
             mems=mems, record=record0, logits4x=logits,
             frame_step=jnp.asarray(frame_step, jnp.int32),
             last_mem_step=jnp.asarray(frame_step, jnp.int32),
@@ -250,7 +244,7 @@ class InferenceEngine:
     def _update_impl(self, params, state: EngineState, label):
         cfg = self.cfg
         id_emb = self._id_emb(params, label)
-        lk, lv, liv, sk, sv, siv = self._apply(
+        lk, lv, sk, sv = self._apply(
             params, type(self.model).write_memories, state.mems, id_emb)
 
         do_long = jnp.logical_and(
@@ -265,7 +259,7 @@ class InferenceEngine:
             return state.bank, state.gru_hid_k, state.gru_hid_v
 
         def write(_):
-            appended = bank_append(state.bank, lk, lv, liv)
+            appended = bank_append(state.bank, lk, lv)
             record, fg = None, None
             if self.need_record and state.record is not None:
                 # fg prob at encoder resolution (aot_engine.py:355-362)
@@ -302,7 +296,7 @@ class InferenceEngine:
         new_bank, ghk, ghv = jax.lax.cond(do_long, write, no_write, None)
         return state.replace(
             bank=new_bank,
-            short_k=sk, short_v=sv, short_id_v=siv,
+            short_k=sk, short_v=sv,
             gru_hid_k=ghk, gru_hid_v=ghv,
             last_mem_step=jnp.where(do_long, state.frame_step,
                                     state.last_mem_step),

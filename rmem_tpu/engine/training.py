@@ -129,13 +129,10 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
                              xs0[-1].reshape(b, hw, c), None, None, None,
                              ref_id_emb, self_pos, cur_pe, mem_pe1, (eh, ew),
                              False, deterministic, dp_rng)
-    lk, lv, liv, sk, sv, siv = apply(type(model).write_memories, mems0,
-                                     ref_id_emb)
-    has_id = liv is not None
+    lk, lv, sk, sv = apply(type(model).write_memories, mems0, ref_id_emb)
     bank = init_bank(lk.shape[0], cfg.max_mem_slots, b, hw, lk.shape[-1],
-                     lv.shape[-1], liv.shape[-1] if liv is not None else None,
-                     dtype=lk.dtype)
-    bank = bank_append(bank, lk, lv, liv)
+                     lv.shape[-1], dtype=lk.dtype)
+    bank = bank_append(bank, lk, lv)
     _, aux_loss = decode(inter0, xs0, labels[:, 0])
 
     # REVERSE_INFER (aot_engine.py:371-396): after every long-memory write,
@@ -145,11 +142,7 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
         from rmem_tpu.memory.bank import _compact_axis
         rbank_k = _compact_axis(bank.k, jnp.int32(0), 1)
         rbank_v = _compact_axis(bank.v, jnp.int32(0), 1)
-        if has_id:
-            rbank_iv = _compact_axis(bank.id_v, jnp.int32(0), 1)
-            bank_tuple = (rbank_k, rbank_v, rbank_iv)
-        else:
-            bank_tuple = (rbank_k, rbank_v)
+        bank_tuple = (rbank_k, rbank_v)
         rmask = jnp.arange(bank.capacity) < (bank.count - 1)
         slot_pe = None
         if mem_pe_table is not None:
@@ -186,8 +179,7 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
         if mem_pe_table is not None:
             slot_pe = interpolate_temporal_pe(mem_pe_table, bank.count,
                                               bank.capacity)
-        bank_tuple = (bank.k, bank.v, bank.id_v) if has_id \
-            else (bank.k, bank.v)
+        bank_tuple = (bank.k, bank.v)
         inter, mems, _ = apply(type(model).lstt_forward, feat, bank_tuple,
                                valid_slot_mask(bank), short, None, self_pos,
                                cur_pe, slot_pe, (eh, ew), False,
@@ -202,12 +194,11 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
         gt_in = id_input_from(onehot_f, ignore_f)
         id_emb = id_embed(jnp.where(use_prev_pred, pred_in, gt_in))
 
-        lk, lv, liv_, sk, sv, siv_ = apply(type(model).write_memories, mems,
-                                           id_emb)
+        lk, lv, sk, sv = apply(type(model).write_memories, mems, id_emb)
         do_long = fidx - last_mem_step >= cfg.train_long_term_mem_gap
         if cfg.no_long_memory:
             do_long = jnp.asarray(False)
-        appended = bank_append(bank, lk, lv, liv_)
+        appended = bank_append(bank, lk, lv)
         if cfg.gru_memory_active:
             evicted, nhk, nhv = evict_if_full_gru(
                 appended, cfg.former_mem_len, cfg.latter_mem_len,
@@ -220,7 +211,7 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
             new_ghk, new_ghv = ghk, ghv
         new_bank = jax.tree_util.tree_map(
             lambda a_, b_: jnp.where(do_long, a_, b_), evicted, bank)
-        new_short = (sk, sv, siv_) if has_id else (sk, sv)
+        new_short = (sk, sv)
         # capture frame-1 short memories, detached (aot_engine.py:372-374)
         new_first = jax.tree_util.tree_map(
             lambda f, n: jnp.where(fidx == 1, jax.lax.stop_gradient(n), f),
@@ -245,7 +236,7 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
                 new_ghk, new_ghv,
                 jax.lax.stop_gradient(pred_label)), (loss, iou)
 
-    short0 = (sk, sv, siv) if has_id else (sk, sv)
+    short0 = (sk, sv)
     xs_scan = tuple(jnp.swapaxes(x[:, 1:], 0, 1) for x in xs_bt)
     scan_data = (xs_scan,
                  jnp.swapaxes(labels[:, 1:], 0, 1),

@@ -16,8 +16,6 @@ Layouts are TPU-first: slot axis leading, tokens x channels minor
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -27,8 +25,13 @@ import jax.numpy as jnp
 class MemoryBank:
     """Long-term memory across all LSTT/GPM layers + eviction statistics.
 
-    k: [L, S, B, HW, Ck]; v: [L, S, B, HW, Cv]; id_v: DeAOT identity values
-    [L, S, B, HW, Cv] or None (AOT). `count` is the number of valid slots.
+    k: [L, S, B, HW, Ck]; v: [L, S, B, HW, Cv]. For DeAOT, `v` stores the
+    visual and identity value planes CONCATENATED on the channel axis
+    ([V, ID_V], Cv = 2*expand_d): bank attention reads them jointly
+    (transformer.py:1180-1184), and storing the read layout moves the
+    [S,B,HW,2C] concat from every frame (0.23 ms/frame at 481x849, r3
+    profile) to the once-per-gap memory write. `count` is the number of
+    valid slots.
 
     Eviction stats are slot-aligned and compacted together with k/v, which
     reproduces the reference's frame-index-keyed dicts
@@ -40,7 +43,6 @@ class MemoryBank:
 
     k: jnp.ndarray
     v: jnp.ndarray
-    id_v: Optional[jnp.ndarray]
     count: jnp.ndarray        # scalar int32
     score: jnp.ndarray        # [S] float32
     scored: jnp.ndarray       # [S] bool
@@ -62,17 +64,14 @@ class ShortTermMemory:
 
     k: jnp.ndarray
     v: jnp.ndarray
-    id_v: Optional[jnp.ndarray]
 
 
 def init_bank(num_layers: int, capacity: int, batch: int, hw: int,
-              ck: int, cv: int, cid: Optional[int] = None,
-              dtype=jnp.float32) -> MemoryBank:
+              ck: int, cv: int, dtype=jnp.float32) -> MemoryBank:
     zeros = lambda c: jnp.zeros((num_layers, capacity, batch, hw, c), dtype)
     return MemoryBank(
         k=zeros(ck),
         v=zeros(cv),
-        id_v=zeros(cid) if cid is not None else None,
         count=jnp.zeros((), jnp.int32),
         score=jnp.zeros((capacity,), jnp.float32),
         scored=jnp.zeros((capacity,), bool),
@@ -85,8 +84,8 @@ def valid_slot_mask(bank: MemoryBank) -> jnp.ndarray:
     return jnp.arange(bank.capacity) < bank.count
 
 
-def bank_append(bank: MemoryBank, new_k: jnp.ndarray, new_v: jnp.ndarray,
-                new_id_v: Optional[jnp.ndarray] = None) -> MemoryBank:
+def bank_append(bank: MemoryBank, new_k: jnp.ndarray, new_v: jnp.ndarray
+                ) -> MemoryBank:
     """Write a new slot at index `count` (transformer.py:306-322's cat).
 
     new_k: [L, B, HW, Ck]. Assumes count < capacity, which the engine
@@ -101,7 +100,6 @@ def bank_append(bank: MemoryBank, new_k: jnp.ndarray, new_v: jnp.ndarray,
     return bank.replace(
         k=put(bank.k, new_k),
         v=put(bank.v, new_v),
-        id_v=put(bank.id_v, new_id_v) if bank.id_v is not None else None,
         count=bank.count + 1,
     )
 
@@ -126,8 +124,6 @@ def bank_compact(bank: MemoryBank, drop_idx: jnp.ndarray) -> MemoryBank:
     return bank.replace(
         k=_compact_axis(bank.k, drop_idx, 1),
         v=_compact_axis(bank.v, drop_idx, 1),
-        id_v=(_compact_axis(bank.id_v, drop_idx, 1)
-              if bank.id_v is not None else None),
         count=new_count,
         score=jnp.where(fresh, _compact_axis(bank.score, drop_idx, 0), 0.0),
         scored=fresh & _compact_axis(bank.scored, drop_idx, 0),

@@ -54,7 +54,11 @@ class DeAOT(AOT):
 
     def write_memories(self, mems: Dict[str, jnp.ndarray], id_emb):
         """GPM writes raw V plus the id-fused ID_V plane; short-term memory
-        shares the same entries (transformer.py:826-857)."""
+        shares the same entries (transformer.py:826-857). V and ID_V are
+        stored CONCATENATED ([.., 2*expand_d]) because bank attention always
+        reads them jointly (transformer.py:1180-1184) — concatenating once
+        at write time instead of per frame saves 0.23 ms/frame (r3
+        profile)."""
         long_v, id_v = self.lstt.project_memories(mems, id_emb)
-        return (mems["curr_k"], long_v, id_v,
-                mems["curr_k"], long_v, id_v)
+        cat_v = jnp.concatenate([long_v, id_v], axis=-1)
+        return mems["curr_k"], cat_v, mems["curr_k"], cat_v

@@ -156,10 +156,13 @@ class GPMBlock(nn.Module):
         return silu(self.linear_ID_V(
             jnp.concatenate([curr_id_v, id_emb], axis=-1)))
 
-    def __call__(self, tgt, tgt_id, bank_k, bank_v, bank_id_v, slot_mask,
-                 short_k, short_v, short_id_v, id_emb, cur_pe, slot_pe,
+    def __call__(self, tgt, tgt_id, bank_k, bank_v, slot_mask,
+                 short_k, short_v, id_emb, cur_pe, slot_pe,
                  size_2d, need_record=False, deterministic=True, dp_rng=None,
                  use_pallas=False):
+        """bank_v / short_v carry [V, ID_V] concatenated on channels (the
+        storage layout — see MemoryBank): attention reads them jointly
+        (transformer.py:1180-1184), so no per-frame concat is needed."""
         _tgt = self.norm1(tgt)
         qv = self.linear_QV(_tgt)
         curr_q = curr_k = qv[..., : self.d_att * self.att_heads]
@@ -179,24 +182,23 @@ class GPMBlock(nn.Module):
         if id_emb is not None:
             # reference frame: self-memory (transformer.py:1125-1135)
             g_id_v = self.fuse_id_value(curr_id_v, id_emb)
-            bank_k, bank_v, bank_id_v = (curr_k[None], curr_v[None],
-                                         g_id_v[None])
+            cat_v = jnp.concatenate([curr_v, g_id_v], axis=-1)
+            bank_k, bank_v = curr_k[None], cat_v[None]
             slot_mask = jnp.ones((1,), bool)
-            short_k, short_v, short_id_v = curr_k, curr_v, g_id_v
+            short_k, short_v = curr_k, cat_v
 
         q_t = curr_q + cur_pe if cur_pe is not None else curr_q
         bk = bank_k + slot_pe[:, None, None, :].astype(bank_k.dtype) \
             if slot_pe is not None else bank_k
-        cat_bank_v = jnp.concatenate([bank_v, bank_id_v], axis=-1)
         agg, record = bank_attention_dispatch(
-            q_t, bk, cat_bank_v, slot_mask, self.att_heads,
+            q_t, bk, bank_v, slot_mask, self.att_heads,
             need_record=need_record, scale=self.d_att ** -0.5,
             use_pallas=use_pallas)
         fused_tail = use_pallas == "all+dw"
         cat_tgt2 = self.long_tail(agg, cat_u, size_2d, deterministic,
                                   fused=fused_tail)
 
-        cat_local_v = jnp.concatenate([short_v, short_id_v], axis=-1)
+        cat_local_v = short_v
         rel = self.relative_emb_k(curr_q)  # from unscaled q (attention.py:314)
         with jax.named_scope("local_attention"):  # profile attribution
             if use_pallas == "train_all":
@@ -279,9 +281,10 @@ class GPM(nn.Module):
     def __call__(self, tgt, bank, slot_mask, short, id_emb, self_pos,
                  cur_pe, slot_pe, size_2d, need_record=False,
                  deterministic=True, dp_rng=None, use_pallas=False):
-        """bank: (k, v, id_v) each [L,S,B,HW,*] or None; short likewise
-        [L,B,HW,*]. self_pos is unused by GPM (reference parity). Returns
-        (intermediates [L x (B,HW,2C)], mems, record)."""
+        """bank: (k, v) each [L,S,B,HW,*] or None; short likewise
+        [L,B,HW,*]; v carries [V, ID_V] concatenated. self_pos is unused by
+        GPM (reference parity). Returns (intermediates [L x (B,HW,2C)],
+        mems, record)."""
         del self_pos
         out, out_id = tgt, None
         intermediates: List[jnp.ndarray] = []
@@ -290,12 +293,10 @@ class GPM(nn.Module):
         for i, block in enumerate(self.blocks):
             bk = bank[0][i] if bank is not None else None
             bv = bank[1][i] if bank is not None else None
-            biv = bank[2][i] if bank is not None else None
             sk = short[0][i] if short is not None else None
             sv = short[1][i] if short is not None else None
-            siv = short[2][i] if short is not None else None
             out, out_id, mems, rec = block(
-                out, out_id, bk, bv, biv, slot_mask, sk, sv, siv, id_emb,
+                out, out_id, bk, bv, slot_mask, sk, sv, id_emb,
                 cur_pe, slot_pe, size_2d,
                 need_record=(need_record and i == 0),
                 deterministic=deterministic, dp_rng=dp_rng,

@@ -467,10 +467,12 @@ def test_gpm_block_parity():
         slot_pe = rng.randn(T, d_att).astype(np.float32)
         mask = jnp.ones((T,), bool)
 
+        bv_cat = jnp.concatenate([jnp.asarray(bv), jnp.asarray(biv)], -1)
+        sv_cat = jnp.concatenate([jnp.asarray(sv), jnp.asarray(siv)], -1)
         variables = fb.init(
             jax.random.PRNGKey(0), jnp.asarray(tgt), jnp.asarray(tgt_id),
-            jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(biv), mask,
-            jnp.asarray(sk), jnp.asarray(sv), jnp.asarray(siv), None,
+            jnp.asarray(bk), bv_cat, mask,
+            jnp.asarray(sk), sv_cat, None,
             jnp.asarray(cur_pe), jnp.asarray(slot_pe), hw2d)
         from rmem_tpu.utils.checkpoint import _convert_gpm_block
         out_flat = {}
@@ -480,8 +482,8 @@ def test_gpm_block_parity():
 
         ours_t, ours_id, mems, _ = fb.apply(
             {"params": params}, jnp.asarray(tgt), jnp.asarray(tgt_id),
-            jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(biv), mask,
-            jnp.asarray(sk), jnp.asarray(sv), jnp.asarray(siv), None,
+            jnp.asarray(bk), bv_cat, mask,
+            jnp.asarray(sk), sv_cat, None,
             jnp.asarray(cur_pe), jnp.asarray(slot_pe), hw2d)
         with torch.no_grad():
             theirs_t, theirs_id = tb(
