@@ -53,7 +53,7 @@ def _chip_peak_flops() -> float | None:
     return best[1] if best else None
 
 
-def _flops_per_frame(cfg, model, params, state, img) -> float | None:
+def _flops_per_frame(cfg, model, params, img0, mask, img) -> float | None:
     """Analytic FLOPs of one fused frame step from XLA's HLO cost analysis.
 
     Two accounting traps, both verified empirically: (a) HLO cost analysis
@@ -62,13 +62,16 @@ def _flops_per_frame(cfg, model, params, state, img) -> float | None:
     opaque custom-calls counted as zero FLOPs, so the analysis engine runs
     with `use_pallas_bank_attention=False` — the XLA einsum formulation of
     bank attention is mathematically identical, making this the analytic
-    count for the fused kernel too. Lowering only (no compile): HLO-level
-    analysis, no second executable."""
+    count for the fused kernel too. The count engine builds its OWN state:
+    its einsum bank is unpadded (the Pallas engine token-pads slots to a
+    2048-multiple), so the count reflects true tokens, not pad. Lowering
+    only (no compile): HLO-level analysis, no second executable."""
     try:
         from rmem_tpu.engine import InferenceEngine
         eng = InferenceEngine(
             model, params, cfg.replace(use_pallas_bank_attention=False),
             donate=False)
+        state, _ = eng.add_reference(img0, mask, [NUM_OBJECTS], gap=5)
         lowered = eng._step.lower(params, state, img, out_hw=HW)
         ca = lowered.cost_analysis()
         if ca is None:  # axon backend: HLO-level analysis needs the compile
@@ -104,7 +107,8 @@ def main():
 
     # FLOP count of one frame step (before the timing loop: state buffers
     # are donated inside it)
-    flops_frame = _flops_per_frame(cfg, model, params, state, chunk[0])
+    flops_frame = _flops_per_frame(cfg, model, params, img0,
+                                   jnp.asarray(mask), chunk[0])
 
     # warmup: compile + fill the bank to steady state; hard host sync
     state, labels = engine.scan_steps(state, chunk, HW)

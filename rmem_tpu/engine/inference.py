@@ -191,9 +191,25 @@ class InferenceEngine:
         lk, lv, sk, sv = self._apply(
             params, type(self.model).write_memories, mems, id_emb)
 
+        # slots are stored token-padded: the Pallas bank kernel then needs
+        # NO per-frame relayout (pads masked via true_lk; values read
+        # zero-copy from this buffer), and appends write the unpadded slot
+        # into the padded slab (dynamic_update_slice of a smaller update).
+        # Pad granularity: a 2048-multiple keeps the kernel's preferred
+        # 2048 key tile (tiles must DIVIDE the padded extent; a bare
+        # 128-multiple like 6527->6528=128*51 only admits a 384 tile,
+        # measured 8 FPS slower from the 17x shorter pipeline); below one
+        # tile a 128-multiple single chunk is optimal. The einsum path
+        # masks a padded bank exactly (true_lk) but gains nothing from the
+        # layout, so padding is applied only when the kernel runs.
+        if self.use_pallas:
+            hw_pad = (-(-hw // 2048) * 2048 if hw > 2048
+                      else -(-hw // 128) * 128)
+        else:
+            hw_pad = hw
         bank = init_bank(
             num_layers=lk.shape[0], capacity=cfg.max_mem_slots, batch=b,
-            hw=hw, ck=lk.shape[-1], cv=lv.shape[-1], dtype=lk.dtype)
+            hw=hw_pad, ck=lk.shape[-1], cv=lv.shape[-1], dtype=lk.dtype)
         bank = bank_append(bank, lk, lv)
 
         logits = self._decode(params, intermediates, xs, obj_nums)
@@ -274,9 +290,19 @@ class InferenceEngine:
                 eh, ew = self._enc_hw(state)
 
                 def compress_fn(ks, vs, hk, hv):
-                    return self.model.apply(
-                        {"params": params}, ks, vs, hk, hv, (eh, ew),
+                    # bank slots are token-padded; the ConvGRU reshapes to
+                    # (eh, ew), so slice to the true extent and pad the
+                    # compressed outputs back to the slot width
+                    t_hw = eh * ew
+                    pad = ks.shape[2] - t_hw
+                    ok, ov, nhk, nhv = self.model.apply(
+                        {"params": params}, ks[:, :, :t_hw], vs[:, :, :t_hw],
+                        hk, hv, (eh, ew),
                         method=lambda m, *a: m.lstt.compress_evicted(*a))
+                    if pad:
+                        ok = jnp.pad(ok, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                        ov = jnp.pad(ov, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                    return ok, ov, nhk, nhv
 
                 evicted, nhk, nhv = evict_if_full_gru(
                     appended, cfg.former_mem_len, cfg.latter_mem_len,

@@ -194,42 +194,86 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _layout(q, bank_k, bank_v, num_heads, tile_q, tile_k):
+def _divisor_tile(lk_pad: int, tile_k: int) -> int:
+    """Largest multiple-of-128 tile <= tile_k that divides lk_pad (which is
+    itself a multiple of 128), so pre-padded inputs need NO further pad."""
+    best = 128
+    t = 128
+    while t <= min(tile_k, lk_pad):
+        if lk_pad % t == 0:
+            best = t
+        t += 128
+    return best
+
+
+def _layout(q, bank_k, bank_v, num_heads, tile_q, tile_k, true_lk=None,
+            v_prelaid: bool = False):
     """Split heads, pad to tiles: q -> [BH, Lq_pad, dh], bank -> [S, BH,
-    Lk_pad, d]. Returns the padded arrays plus the geometry tuple."""
-    s_slots, b, lk, _ = bank_k.shape
+    Lk_pad, d]. Returns the padded arrays plus the geometry tuple.
+
+    true_lk: the number of VALID key tokens when the bank arrives already
+    padded (the engine stores slots at a 128-multiple token count so this
+    relayout is free at inference); tokens >= true_lk are masked inside the
+    kernel. When the token dim is already 128-aligned the key tile is
+    chosen as a DIVISOR so no pad copy is emitted.
+    v_prelaid: bank_v is already in kernel layout ([S_total, BH, Lk_pad,
+    dv], heads folded) and is passed through untouched — the zero-copy
+    full-bank read path (requires num_heads == 1)."""
+    s_slots, b, lk_in, _ = bank_k.shape
+    lk = true_lk if true_lk is not None else lk_in
     lq = q.shape[1]
     dh = q.shape[-1] // num_heads
     dv = bank_v.shape[-1] // num_heads
 
     tq = min(tile_q, _round_up(lq, 128))
-    tk = min(tile_k, _round_up(lk, 128))
+    if lk_in % 128 == 0:
+        tk = _divisor_tile(lk_in, tile_k)
+        lk_pad = lk_in
+    else:
+        tk = min(tile_k, _round_up(lk, 128))
+        lk_pad = _round_up(lk, tk)
     lq_pad = _round_up(lq, tq)
-    lk_pad = _round_up(lk, tk)
 
     qh = q.reshape(b, lq, num_heads, dh).transpose(0, 2, 1, 3)
     qh = qh.reshape(b * num_heads, lq, dh)
     qh = jnp.pad(qh, ((0, 0), (0, lq_pad - lq), (0, 0)))
-    kh = bank_k.reshape(s_slots, b, lk, num_heads, dh).transpose(0, 1, 3, 2, 4)
-    kh = kh.reshape(s_slots, b * num_heads, lk, dh)
-    kh = jnp.pad(kh, ((0, 0), (0, 0), (0, lk_pad - lk), (0, 0)))
-    vh = bank_v.reshape(s_slots, b, lk, num_heads, dv).transpose(0, 1, 3, 2, 4)
-    vh = vh.reshape(s_slots, b * num_heads, lk, dv)
-    vh = jnp.pad(vh, ((0, 0), (0, 0), (0, lk_pad - lk), (0, 0)))
+    kh = bank_k.reshape(s_slots, b, lk_in, num_heads, dh)
+    kh = kh.transpose(0, 1, 3, 2, 4).reshape(s_slots, b * num_heads,
+                                             lk_in, dh)
+    kh = jnp.pad(kh, ((0, 0), (0, 0), (0, lk_pad - lk_in), (0, 0)))
+    if v_prelaid:
+        assert num_heads == 1 and bank_v.shape[2] == lk_pad, \
+            (bank_v.shape, lk_pad, num_heads)
+        vh = bank_v
+        dv = bank_v.shape[-1]
+    else:
+        vh = bank_v.reshape(s_slots, b, lk_in, num_heads, dv)
+        vh = vh.transpose(0, 1, 3, 2, 4).reshape(s_slots, b * num_heads,
+                                                 lk_in, dv)
+        vh = jnp.pad(vh, ((0, 0), (0, 0), (0, lk_pad - lk_in), (0, 0)))
     geom = (s_slots, b, lq, lk, dh, dv, tq, tk, lq_pad, lk_pad)
     return qh, kh, vh, geom
 
 
 def _forward(q, bank_k, bank_v, count, num_heads, scale, tile_q, tile_k,
-             want_lse: bool = False):
+             want_lse: bool = False, true_lk=None, v_slot_base=None):
     """Raw fused forward. Returns (out_bh [BH,Lq_pad,dv], rec_bh
     [BH,Lq_pad,S], lse [BH,Lq_pad,1] | None, geom). lse is only emitted on
-    the VJP forward — the inference path skips the extra output store."""
-    qh, kh, vh, geom = _layout(q, bank_k, bank_v, num_heads, tile_q, tile_k)
+    the VJP forward — the inference path skips the extra output store.
+
+    v_slot_base: when not None, bank_v is the FULL multi-layer bank in
+    kernel layout ([L*S, B, Lk_pad, dv]) and this layer's slots start at
+    the given static offset — the value operand is then a free reshape of
+    the engine state (no per-layer slice/pad copy; the custom call reads
+    straight from the persistent bank buffer)."""
+    qh, kh, vh, geom = _layout(q, bank_k, bank_v, num_heads, tile_q, tile_k,
+                               true_lk=true_lk,
+                               v_prelaid=v_slot_base is not None)
     s_slots, b, lq, lk, dh, dv, tq, tk, lq_pad, lk_pad = geom
     chunks = lk_pad // tk
     bh = b * num_heads
     grid = (bh, lq_pad // tq, s_slots * chunks)
+    vb = 0 if v_slot_base is None else int(v_slot_base)
 
     kernel = functools.partial(
         _kernel, scale=scale, lk=lk, tk=tk, chunks_per_slot=chunks,
@@ -252,7 +296,8 @@ def _forward(q, bank_k, bank_v, count, num_heads, scale, tile_q, tile_k,
                               bh_, skv % chunks, 0)),
                 pl.BlockSpec((1, 1, tk, dv),
                              lambda bh_, qt, skv, cnt:
-                             (jnp.minimum(skv // chunks, jnp.maximum(cnt[0] - 1, 0)),
+                             (vb + jnp.minimum(skv // chunks,
+                                               jnp.maximum(cnt[0] - 1, 0)),
                               bh_, skv % chunks, 0)),
             ],
             out_specs=[
@@ -408,6 +453,36 @@ def _forward_qminor(q, bank_k, bank_v, count, num_heads, scale, tile_q,
         ],
     )(count.reshape(1).astype(jnp.int32), qh, kh, vh)
     return outs[0], outs[1][..., :s_slots], geom
+
+
+def pallas_bank_attention_infer(q, bank_k, bank_v, count, num_heads: int,
+                                scale: Optional[float] = None,
+                                tile_q: int = 256, tile_k: int = 2048,
+                                true_lk: Optional[int] = None,
+                                v_slot_base: Optional[int] = None
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inference-only forward with padded-state support (no VJP).
+
+    true_lk: number of valid key tokens when the bank is stored pre-padded
+    to a 128-multiple (the engine's layout) — padding is masked in-kernel
+    and the relayout pad copy is skipped entirely.
+    v_slot_base: read this layer's values straight out of the FULL
+    multi-layer value bank ([L*S, B, Lk_pad, dv], a free reshape of the
+    engine state) at the given static slot offset — the custom call's value
+    operand aliases the persistent bank buffer instead of a per-layer
+    slice+pad copy (the r3 profile's 4.6 ms/30 frames of
+    slice_bitcast_fusions). Requires num_heads == 1.
+    """
+    import os
+    tile_q = int(os.environ.get("RMEM_BANK_TQ", tile_q))
+    tile_k = int(os.environ.get("RMEM_BANK_TK", tile_k))
+    dh = q.shape[-1] // num_heads
+    scale = scale if scale is not None else dh ** -0.5
+    out_bh, rec_bh, _, geom = _forward(q, bank_k, bank_v, count, num_heads,
+                                       float(scale), int(tile_q),
+                                       int(tile_k), true_lk=true_lk,
+                                       v_slot_base=v_slot_base)
+    return _unlayout_out(out_bh, rec_bh, geom, num_heads)
 
 
 def pallas_bank_attention_qminor(q, bank_k, bank_v, count, num_heads: int,

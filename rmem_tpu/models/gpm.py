@@ -159,10 +159,14 @@ class GPMBlock(nn.Module):
     def __call__(self, tgt, tgt_id, bank_k, bank_v, slot_mask,
                  short_k, short_v, id_emb, cur_pe, slot_pe,
                  size_2d, need_record=False, deterministic=True, dp_rng=None,
-                 use_pallas=False):
+                 use_pallas=False, true_lk=None, v_slot_base=None):
         """bank_v / short_v carry [V, ID_V] concatenated on channels (the
         storage layout — see MemoryBank): attention reads them jointly
-        (transformer.py:1180-1184), so no per-frame concat is needed."""
+        (transformer.py:1180-1184), so no per-frame concat is needed.
+        On the Pallas inference path bank_v may be the FULL multi-layer
+        value bank with v_slot_base pointing at this layer's slots
+        (zero-copy read of the engine state); true_lk gives the valid
+        token count of pre-padded slots."""
         _tgt = self.norm1(tgt)
         qv = self.linear_QV(_tgt)
         curr_q = curr_k = qv[..., : self.d_att * self.att_heads]
@@ -186,6 +190,7 @@ class GPMBlock(nn.Module):
             bank_k, bank_v = curr_k[None], cat_v[None]
             slot_mask = jnp.ones((1,), bool)
             short_k, short_v = curr_k, cat_v
+            true_lk, v_slot_base = None, None
 
         q_t = curr_q + cur_pe if cur_pe is not None else curr_q
         bk = bank_k + slot_pe[:, None, None, :].astype(bank_k.dtype) \
@@ -193,7 +198,8 @@ class GPMBlock(nn.Module):
         agg, record = bank_attention_dispatch(
             q_t, bk, bank_v, slot_mask, self.att_heads,
             need_record=need_record, scale=self.d_att ** -0.5,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, true_lk=true_lk,
+            v_slot_base=v_slot_base)
         fused_tail = use_pallas == "all+dw"
         cat_tgt2 = self.long_tail(agg, cat_u, size_2d, deterministic,
                                   fused=fused_tail)
@@ -290,9 +296,28 @@ class GPM(nn.Module):
         intermediates: List[jnp.ndarray] = []
         mems_list: List[Dict[str, Any]] = []
         record0 = None
+        true_lk = size_2d[0] * size_2d[1]
+        # OPT-IN zero-copy value reads (Pallas inference, single head): pass
+        # the FULL value bank — [L,S,B,HWp,Cv] -> [L*S,B,HWp,Cv] is a free
+        # reshape — and a static per-layer slot offset, so the kernel's
+        # value operand nominally aliases the persistent state buffer.
+        # Measured SLOWER on v5e 480p (176.3 vs 183.4 FPS avg, two runs
+        # each): the scan body also UPDATES the bank, so XLA inserts a
+        # defensive copy of the whole ~550 MB value slab for the custom
+        # call — worse than the per-layer slice it replaces. The padded
+        # slot layout itself (pad-free relayout, true_lk in-kernel mask)
+        # is the production win and stays on unconditionally.
+        import os
+        fast_v = (bank is not None and self.att_heads == 1
+                  and use_pallas in ("all", "all+dw")
+                  and bool(os.environ.get("RMEM_BANK_ZEROCOPY_V")))
+        if fast_v:
+            n_slots = bank[1].shape[1]
+            v_full = bank[1].reshape((-1,) + bank[1].shape[2:])
         for i, block in enumerate(self.blocks):
             bk = bank[0][i] if bank is not None else None
-            bv = bank[1][i] if bank is not None else None
+            bv = (v_full if fast_v else
+                  (bank[1][i] if bank is not None else None))
             sk = short[0][i] if short is not None else None
             sv = short[1][i] if short is not None else None
             out, out_id, mems, rec = block(
@@ -300,7 +325,9 @@ class GPM(nn.Module):
                 cur_pe, slot_pe, size_2d,
                 need_record=(need_record and i == 0),
                 deterministic=deterministic, dp_rng=dp_rng,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas,
+                true_lk=(true_lk if bank is not None else None),
+                v_slot_base=(i * n_slots if fast_v else None))
             if i == 0:
                 record0 = rec
             intermediates.append(jnp.concatenate([out, out_id], axis=-1))

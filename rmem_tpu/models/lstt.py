@@ -143,7 +143,8 @@ class LSTTBlock(nn.Module):
             bank_k = bank_k + slot_pe[:, None, None, :].astype(bank_k.dtype)
         tgt2, record = bank_attention_dispatch(
             q_t, bank_k, bank_v, slot_mask, self.att_heads,
-            need_record=need_record, use_pallas=use_pallas)
+            need_record=need_record, use_pallas=use_pallas,
+            true_lk=(size_2d[0] * size_2d[1] if id_emb is None else None))
         tgt2 = self.long_proj(tgt2)
 
         if self.linear_q:

@@ -52,7 +52,8 @@ def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def bank_attention(q: jnp.ndarray, bank_k: jnp.ndarray, bank_v: jnp.ndarray,
                    slot_mask: jnp.ndarray, num_heads: int,
                    need_record: bool = False,
-                   scale: Optional[float] = None
+                   scale: Optional[float] = None,
+                   true_lk: Optional[int] = None
                    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Cross-attention from the current frame into the memory bank.
 
@@ -77,6 +78,11 @@ def bank_attention(q: jnp.ndarray, bank_k: jnp.ndarray, bank_v: jnp.ndarray,
 
     logits = jnp.einsum("bqhd,sbkhd->bhqsk", qh, kh) * scale
     logits = jnp.where(slot_mask[None, None, None, :, None], logits, NEG_INF)
+    if true_lk is not None and true_lk < lk:
+        # bank stored pre-padded to a 128-multiple token count: padded key
+        # positions get exactly-zero softmax weight (exp(-1e30-max) == 0.0
+        # in f32), so outputs and slot masses are unchanged
+        logits = jnp.where(jnp.arange(lk) < true_lk, logits, NEG_INF)
     flat = logits.reshape(b, num_heads, lq, s * lk).astype(jnp.float32)
     probs = jax.nn.softmax(flat, axis=-1).reshape(b, num_heads, lq, s, lk)
     out = jnp.einsum("bhqsk,sbkhd->bqhd", probs.astype(bank_v.dtype), vh)
@@ -373,17 +379,35 @@ def tiled_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def bank_attention_dispatch(q, bank_k, bank_v, slot_mask, num_heads: int,
                             need_record: bool = False,
                             scale: Optional[float] = None,
-                            use_pallas: bool = False):
+                            use_pallas: bool = False,
+                            true_lk: Optional[int] = None,
+                            v_slot_base: Optional[int] = None):
     """Route to the fused Pallas kernel or the XLA einsum formulation.
 
     The Pallas path derives the valid-slot count from the (prefix) mask.
     Both paths are differentiable: the Pallas kernel carries a flash-style
     custom VJP (kernels/bank_attention.py) with gradient flow through both
     the output and the slot-mass record.
+
+    true_lk masks pre-padded key tokens (the engine stores bank slots at a
+    128-multiple token count). v_slot_base (Pallas inference only, callers
+    guarantee it) selects this layer's slots from the FULL multi-layer
+    value bank so the kernel reads the state buffer with zero copies.
     """
     if use_pallas:
         import os
         count = jnp.sum(slot_mask.astype(jnp.int32))
+        if v_slot_base is not None or (
+                true_lk is not None and true_lk != bank_k.shape[2]):
+            # pre-padded bank (any use_pallas flavor, incl. the AOT True
+            # path): must go through the pad-aware inference kernel — the
+            # plain kernel would attend over the zero padding
+            from rmem_tpu.kernels.bank_attention import \
+                pallas_bank_attention_infer
+            out, rec = pallas_bank_attention_infer(
+                q, bank_k, bank_v, count, num_heads, scale=scale,
+                true_lk=true_lk, v_slot_base=v_slot_base)
+            return out, (rec if need_record else None)
         if (use_pallas in ("all", "all+dw")
                 and os.environ.get("RMEM_BANK_QMINOR")):
             # q-minor layout (V streamed once per chunk instead of once per
@@ -403,7 +427,8 @@ def bank_attention_dispatch(q, bank_k, bank_v, slot_mask, num_heads: int,
                                              num_heads, scale=scale)
         return out, (rec if need_record else None)
     return bank_attention(q, bank_k, bank_v, slot_mask, num_heads,
-                          need_record=need_record, scale=scale)
+                          need_record=need_record, scale=scale,
+                          true_lk=true_lk)
 
 
 def interleave_heads(x1: jnp.ndarray, x2: jnp.ndarray,

@@ -304,3 +304,50 @@ def test_pallas_bank_attention_qminor_matches_xla(n_valid):
     np.testing.assert_allclose(np.asarray(rec), np.asarray(ref_rec),
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(rec).sum(-1), 1.0, atol=1e-4)
+
+
+def test_pallas_bank_attention_padded_state_zero_copy_v():
+    """The engine's padded-bank layout: slots stored at a 128-multiple
+    token count (pad masked via true_lk) with the value operand taken from
+    the FULL multi-layer bank at a static slot offset (v_slot_base) — must
+    match the unpadded einsum reference layer by layer."""
+    from rmem_tpu.kernels.bank_attention import pallas_bank_attention_infer
+
+    rng = np.random.RandomState(3)
+    l_layers, s, b, heads, dh, dv = 3, 4, 1, 1, 64, 128
+    lq, lk, lk_pad = 150, 150, 256
+    n_valid = 3
+
+    q = _rand(rng, b, lq, dh)
+    bank_k = np.zeros((l_layers, s, b, lk_pad, dh), np.float32)
+    bank_v = np.zeros((l_layers, s, b, lk_pad, dv), np.float32)
+    bank_k[:, :, :, :lk] = rng.randn(l_layers, s, b, lk, dh)
+    bank_v[:, :, :, :lk] = rng.randn(l_layers, s, b, lk, dv)
+    bank_k, bank_v = jnp.asarray(bank_k), jnp.asarray(bank_v)
+    v_full = bank_v.reshape((-1,) + bank_v.shape[2:])
+    mask = jnp.arange(s) < n_valid
+
+    for layer in range(l_layers):
+        ref_out, ref_rec = bank_attention(
+            q, bank_k[layer, :, :, :lk], bank_v[layer, :, :, :lk],
+            mask, heads, need_record=True)
+        out, rec = _run_pallas(
+            lambda: pallas_bank_attention_infer(
+                q, bank_k[layer], v_full, jnp.int32(n_valid), heads,
+                true_lk=lk, v_slot_base=layer * s))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(ref_rec),
+                                   atol=2e-5)
+
+    # padded-but-per-layer V (the einsum true_lk mask itself): padded ref
+    # equals unpadded ref bit-for-bit
+    out_pad, rec_pad = bank_attention(
+        q, bank_k[0], bank_v[0], mask, heads, need_record=True, true_lk=lk)
+    ref_out, ref_rec = bank_attention(
+        q, bank_k[0, :, :, :lk], bank_v[0, :, :, :lk], mask, heads,
+        need_record=True)
+    np.testing.assert_allclose(np.asarray(out_pad), np.asarray(ref_out),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(rec_pad), np.asarray(ref_rec),
+                               atol=2e-7)
