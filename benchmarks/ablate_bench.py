@@ -48,7 +48,7 @@ def _apply_ablation(name):
         return
     if name == "bank":
         def stub(q, k, v, mask, heads, need_record=False, scale=None,
-                 use_pallas=False):
+                 use_pallas=False, **kw):
             out = jnp.zeros(q.shape[:-1] + (v.shape[-1],), q.dtype)
             rec = (jnp.zeros(q.shape[:-1] + (k.shape[0],), jnp.float32)
                    if need_record else None)

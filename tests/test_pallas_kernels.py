@@ -351,3 +351,32 @@ def test_pallas_bank_attention_padded_state_zero_copy_v():
                                atol=2e-6)
     np.testing.assert_allclose(np.asarray(rec_pad), np.asarray(ref_rec),
                                atol=2e-7)
+
+
+@pytest.mark.parametrize("use_pallas", [True, "all"])
+def test_dispatch_routes_padded_bank_to_pad_aware_kernel(use_pallas):
+    """Any truthy use_pallas flavor (incl. the AOT engine's plain True)
+    with a pre-padded bank must hit the pad-aware inference kernel — the
+    plain kernel would attend over the zero padding and corrupt outputs."""
+    from rmem_tpu.ops.attention import bank_attention_dispatch
+
+    rng = np.random.RandomState(7)
+    s, b, heads, dh, dv, lq, lk, lk_pad = 3, 1, 2, 32, 32, 130, 100, 128
+    q = _rand(rng, b, lq, heads * dh)
+    bk = np.zeros((s, b, lk_pad, heads * dh), np.float32)
+    bv = np.zeros((s, b, lk_pad, heads * dv), np.float32)
+    bk[:, :, :lk] = rng.randn(s, b, lk, heads * dh)
+    bv[:, :, :lk] = rng.randn(s, b, lk, heads * dv)
+    bk, bv = jnp.asarray(bk), jnp.asarray(bv)
+    mask = jnp.arange(s) < 2
+
+    ref_out, ref_rec = bank_attention(q, bk[:, :, :lk], bv[:, :, :lk],
+                                      mask, heads, need_record=True)
+    out, rec = _run_pallas(
+        lambda: bank_attention_dispatch(q, bk, bv, mask, heads,
+                                        need_record=True,
+                                        use_pallas=use_pallas, true_lk=lk))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(ref_rec),
+                               atol=2e-5)
