@@ -18,6 +18,13 @@ Ablations:
   dwconv     GatedTail depthwise conv removed (gate+projection kept)
   tails      GatedTail -> projection(agg*gate) only == dwconv here
   encoder    encoder -> constant feature pyramid
+  decode     FPN decoder + conv head -> zeros (folds most of the epilogue
+             too: true decode share = decode - epilogue)
+  epilogue   full-res label chain (upsample/aggregate/argmax/resize/
+             separate_mask) -> constants (also zeroes the write-time fg
+             upsample, a minor conflation)
+  update     memory-update path skipped entirely (id emb, write
+             projections, append, eviction)
 """
 
 from __future__ import annotations
@@ -93,6 +100,55 @@ def _apply_ablation(name):
             # unused and XLA dead-code-eliminates the whole encoder
             return tuple(jnp.zeros_like(x) for x in orig(self, img))
         aot_mod.AOT.encode_image = stub
+    elif name == "decode":
+        # FPN decoder + conv head -> zeros (logits4x shape kept; the
+        # epilogue then runs on constants and partially folds, so the true
+        # decode share is between this and the epilogue ablation)
+        from rmem_tpu.engine import inference as eng_mod
+
+        orig = eng_mod.InferenceEngine._decode
+
+        def stub(self, params, intermediates, xs, obj_nums):
+            return jnp.zeros_like(orig(self, params, intermediates, xs,
+                                       obj_nums))
+        eng_mod.InferenceEngine._decode = stub
+    elif name == "epilogue":
+        # full-res label chain: bilinear upsample [..,12] -> soft logit
+        # aggregation -> argmax -> nearest resize -> separate_mask. Zeroing
+        # the upsample constant-folds the whole chain; the memory update
+        # still runs (on a constant label).
+        from rmem_tpu.engine import inference as eng_mod
+        orig = eng_mod.resize_bilinear
+
+        def stub(x, out_hw, align_corners):
+            return jnp.zeros_like(orig(x, out_hw, align_corners))
+        eng_mod.resize_bilinear = stub
+    elif name == "bankwrite":
+        # only the long-memory write under the cond (append + scored
+        # eviction): both cond branches then return the bank unchanged, so
+        # any cond-forced whole-bank copy disappears with it. id emb, write
+        # projections, and the short-term update all stay.
+        from rmem_tpu.engine import inference as eng_mod
+        eng_mod.bank_append = lambda bank, k, v: bank.replace(
+            count=jnp.minimum(bank.count + 1, bank.capacity))
+        eng_mod.evict_if_full = \
+            lambda bank, f, l, record=None, fg=None, use_attn_weight=False: \
+            bank
+    elif name == "idemb":
+        from rmem_tpu.engine import inference as eng_mod
+        orig = eng_mod.InferenceEngine._id_emb
+
+        def stub(self, params, label):
+            return jnp.zeros_like(orig(self, params, label))
+        eng_mod.InferenceEngine._id_emb = stub
+    elif name == "update":
+        # memory-update path: id embedding + write projections + append +
+        # scored eviction + short-term replace (state passes through)
+        from rmem_tpu.engine import inference as eng_mod
+
+        def stub(self, params, state, label):
+            return state
+        eng_mod.InferenceEngine._update_impl = stub
     else:
         raise ValueError(name)
 

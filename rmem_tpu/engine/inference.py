@@ -195,16 +195,15 @@ class InferenceEngine:
         # NO per-frame relayout (pads masked via true_lk; values read
         # zero-copy from this buffer), and appends write the unpadded slot
         # into the padded slab (dynamic_update_slice of a smaller update).
-        # Pad granularity: a 2048-multiple keeps the kernel's preferred
-        # 2048 key tile (tiles must DIVIDE the padded extent; a bare
-        # 128-multiple like 6527->6528=128*51 only admits a 384 tile,
-        # measured 8 FPS slower from the 17x shorter pipeline); below one
-        # tile a 128-multiple single chunk is optimal. The einsum path
-        # masks a padded bank exactly (true_lk) but gains nothing from the
-        # layout, so padding is applied only when the kernel runs.
+        # Pad granularity: the smallest 128-multiple that still admits a
+        # wide divisor key tile (see preferred_token_pad — tiles must
+        # DIVIDE the padded extent, and narrow tiles measured 8 FPS slower
+        # from the shorter pipeline). The einsum path masks a padded bank
+        # exactly (true_lk) but gains nothing from the layout, so padding
+        # is applied only when the kernel runs.
         if self.use_pallas:
-            hw_pad = (-(-hw // 2048) * 2048 if hw > 2048
-                      else -(-hw // 128) * 128)
+            from rmem_tpu.kernels.bank_attention import preferred_token_pad
+            hw_pad = preferred_token_pad(hw)
         else:
             hw_pad = hw
         bank = init_bank(

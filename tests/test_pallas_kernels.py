@@ -380,3 +380,25 @@ def test_dispatch_routes_padded_bank_to_pad_aware_kernel(use_pallas):
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(rec), np.asarray(ref_rec),
                                atol=2e-5)
+
+
+def test_preferred_token_pad():
+    """Pad/tile co-design: smallest 128-multiple admitting a wide divisor
+    tile. 480p's hw=6527 must pad to 6528 (tile 2176 = 128*17), not 8192."""
+    from rmem_tpu.kernels.bank_attention import (_divisor_tile,
+                                                 preferred_token_pad)
+
+    assert preferred_token_pad(6527) == 6528
+    assert _divisor_tile(6528, 2304) == 2176
+    assert preferred_token_pad(6528) == 6528
+    assert preferred_token_pad(100) == 128      # single chunk below a tile
+    assert preferred_token_pad(3481) == 3584    # 59x59 train grid, tile 1792
+    assert _divisor_tile(3584, 2304) == 1792
+    # 2944 = 128*23 (prime 23 > 18) admits only a 128 tile -> bump to 3072
+    assert preferred_token_pad(2944) == 3072
+    assert _divisor_tile(3072, 2304) == 1536
+    for hw in range(1, 9000, 37):               # terminates, sane bounds
+        p = preferred_token_pad(hw)
+        assert p >= hw and p % 128 == 0 and p - hw < 4096
+        t = _divisor_tile(p, 2304)
+        assert p % t == 0 and (t >= 1024 or t == p)
