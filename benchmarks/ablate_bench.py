@@ -149,6 +149,48 @@ def _apply_ablation(name):
         def stub(self, params, state, label):
             return state
         eng_mod.InferenceEngine._update_impl = stub
+    elif name == "cond":
+        # the lax.cond construct itself: id emb, write projections, and the
+        # short-term replace all still run, but the bank never changes and
+        # NO cond is emitted. Removes cond-boundary buffer copies of the
+        # bank carry plus the amortized write compute (= bankwrite's
+        # share); the delta beyond bankwrite is the copy cost.
+        from rmem_tpu.engine import inference as eng_mod
+
+        def stub(self, params, state, label):
+            id_emb = self._id_emb(params, label)
+            _, _, sk, sv = self._apply(
+                params, type(self.model).write_memories, state.mems, id_emb)
+            return state.replace(short_k=sk, short_v=sv)
+        eng_mod.InferenceEngine._update_impl = stub
+    elif name == "writeproj":
+        # write projections (fuse_id_value + V/ID_V concat) -> zeros;
+        # id emb, the cond write, and the short-term replace all still run
+        # (on constants)
+        from rmem_tpu.models import aot as aot_mod
+        from rmem_tpu.models import deaot as deaot_mod
+
+        def stub_of(orig):
+            def stub(self, mems, id_emb):
+                return tuple(jnp.zeros_like(t)
+                             for t in orig(self, mems, id_emb))
+            return stub
+        deaot_mod.DeAOT.write_memories = stub_of(
+            deaot_mod.DeAOT.write_memories)
+        aot_mod.AOT.write_memories = stub_of(aot_mod.AOT.write_memories)
+    elif name == "shortwrite":
+        # short-term memory keeps the previous frame's buffers (the sk/sv
+        # produced by write_memories are dropped; projections may then
+        # partially dead-code on the AOT path — on DeAOT lk/sk alias so
+        # only the state write itself disappears)
+        from rmem_tpu.engine import inference as eng_mod
+        orig = eng_mod.InferenceEngine._update_impl
+
+        def stub(self, params, state, label):
+            new = orig(self, params, state, label)
+            return new.replace(short_k=state.short_k,
+                               short_v=state.short_v)
+        eng_mod.InferenceEngine._update_impl = stub
     else:
         raise ValueError(name)
 

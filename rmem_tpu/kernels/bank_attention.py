@@ -41,7 +41,11 @@ NEG_INF = -1e30
 
 def _kernel(count_ref, q_ref, k_ref, v_ref, *refs,
             scale: float, lk: int, tk: int, chunks_per_slot: int,
-            num_slots: int, want_lse: bool):
+            num_slots: int, want_lse: bool, has_bias: bool = False):
+    if has_bias:
+        bias_ref, refs = refs[0], refs[1:]
+    else:
+        bias_ref = None
     if want_lse:
         out_ref, rec_ref, lse_ref, m_scr, l_scr, acc_scr, mass_scr = refs
     else:
@@ -70,6 +74,12 @@ def _kernel(count_ref, q_ref, k_ref, v_ref, *refs,
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # [TQ, TK]
+        if bias_ref is not None:
+            # pre-scaled per-(query, slot) additive term (the factored slot
+            # temporal PE): pick this slot's column with a masked row-sum
+            sid = jax.lax.broadcasted_iota(jnp.int32, bias_ref[0].shape, 1)
+            logits = logits + jnp.sum(
+                jnp.where(sid == s, bias_ref[0], 0.0), axis=1, keepdims=True)
         # mask key padding beyond the slot's true length
         key_pos = c * tk + jax.lax.broadcasted_iota(
             jnp.int32, logits.shape, 1)
@@ -282,7 +292,8 @@ def _layout(q, bank_k, bank_v, num_heads, tile_q, tile_k, true_lk=None,
 
 
 def _forward(q, bank_k, bank_v, count, num_heads, scale, tile_q, tile_k,
-             want_lse: bool = False, true_lk=None, v_slot_base=None):
+             want_lse: bool = False, true_lk=None, v_slot_base=None,
+             qbias=None):
     """Raw fused forward. Returns (out_bh [BH,Lq_pad,dv], rec_bh
     [BH,Lq_pad,S], lse [BH,Lq_pad,1] | None, geom). lse is only emitted on
     the VJP forward — the inference path skips the extra output store.
@@ -291,7 +302,9 @@ def _forward(q, bank_k, bank_v, count, num_heads, scale, tile_q, tile_k,
     kernel layout ([L*S, B, Lk_pad, dv]) and this layer's slots start at
     the given static offset — the value operand is then a free reshape of
     the engine state (no per-layer slice/pad copy; the custom call reads
-    straight from the persistent bank buffer)."""
+    straight from the persistent bank buffer).
+    qbias: [BH, Lq, S] pre-scaled per-(query, slot) logit bias (the
+    factored slot temporal PE)."""
     qh, kh, vh, geom = _layout(q, bank_k, bank_v, num_heads, tile_q, tile_k,
                                true_lk=true_lk,
                                v_prelaid=v_slot_base is not None)
@@ -303,7 +316,15 @@ def _forward(q, bank_k, bank_v, count, num_heads, scale, tile_q, tile_k,
 
     kernel = functools.partial(
         _kernel, scale=scale, lk=lk, tk=tk, chunks_per_slot=chunks,
-        num_slots=s_slots, want_lse=want_lse)
+        num_slots=s_slots, want_lse=want_lse, has_bias=qbias is not None)
+
+    bias_in, bias_spec = [], []
+    if qbias is not None:
+        qb = jnp.pad(qbias.astype(jnp.float32),
+                     ((0, 0), (0, lq_pad - qbias.shape[1]), (0, 0)))
+        bias_in = [qb]
+        bias_spec = [pl.BlockSpec((1, tq, s_slots),
+                                  lambda bh_, qt, skv, *_: (bh_, qt, 0))]
 
     outs = pl.pallas_call(
         kernel,
@@ -325,7 +346,7 @@ def _forward(q, bank_k, bank_v, count, num_heads, scale, tile_q, tile_k,
                              (vb + jnp.minimum(skv // chunks,
                                                jnp.maximum(cnt[0] - 1, 0)),
                               bh_, skv % chunks, 0)),
-            ],
+            ] + bias_spec,
             out_specs=[
                 pl.BlockSpec((1, tq, dv),
                              lambda bh_, qt, skv, *_: (bh_, qt, 0)),
@@ -346,7 +367,7 @@ def _forward(q, bank_k, bank_v, count, num_heads, scale, tile_q, tile_k,
             jax.ShapeDtypeStruct((bh, lq_pad, s_slots), jnp.float32),
         ] + ([jax.ShapeDtypeStruct((bh, lq_pad, 1), jnp.float32)]
              if want_lse else []),
-    )(count.reshape(1).astype(jnp.int32), qh, kh, vh)
+    )(count.reshape(1).astype(jnp.int32), qh, kh, vh, *bias_in)
     out, rec = outs[0], outs[1]
     lse = outs[2] if want_lse else None
     return out, rec, lse, geom
@@ -486,7 +507,8 @@ def pallas_bank_attention_infer(q, bank_k, bank_v, count, num_heads: int,
                                 tile_q: int = 256,
                                 tile_k: int = INFER_TILE_K,
                                 true_lk: Optional[int] = None,
-                                v_slot_base: Optional[int] = None
+                                v_slot_base: Optional[int] = None,
+                                qbias: Optional[jnp.ndarray] = None
                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Inference-only forward with padded-state support (no VJP).
 
@@ -499,6 +521,9 @@ def pallas_bank_attention_infer(q, bank_k, bank_v, count, num_heads: int,
     operand aliases the persistent bank buffer instead of a per-layer
     slice+pad copy (the r3 profile's 4.6 ms/30 frames of
     slice_bitcast_fusions). Requires num_heads == 1.
+    qbias: [B*heads, Lq, S] pre-scaled per-(query, slot) logit bias — the
+    factored slot temporal PE (see ops.attention._slot_pe_bias), exact and
+    avoids rebuilding the bank_k + pe slab every frame.
     """
     import os
     tile_q = int(os.environ.get("RMEM_BANK_TQ", tile_q))
@@ -508,7 +533,7 @@ def pallas_bank_attention_infer(q, bank_k, bank_v, count, num_heads: int,
     out_bh, rec_bh, _, geom = _forward(q, bank_k, bank_v, count, num_heads,
                                        float(scale), int(tile_q),
                                        int(tile_k), true_lk=true_lk,
-                                       v_slot_base=v_slot_base)
+                                       v_slot_base=v_slot_base, qbias=qbias)
     return _unlayout_out(out_bh, rec_bh, geom, num_heads)
 
 

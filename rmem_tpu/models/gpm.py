@@ -193,13 +193,14 @@ class GPMBlock(nn.Module):
             true_lk, v_slot_base = None, None
 
         q_t = curr_q + cur_pe if cur_pe is not None else curr_q
-        bk = bank_k + slot_pe[:, None, None, :].astype(bank_k.dtype) \
-            if slot_pe is not None else bank_k
+        # slot temporal PE rides in as a factored q.pe logit bias (exact;
+        # dispatch falls back to the bank_k + pe slab add where a kernel
+        # path lacks bias support)
         agg, record = bank_attention_dispatch(
-            q_t, bk, bank_v, slot_mask, self.att_heads,
+            q_t, bank_k, bank_v, slot_mask, self.att_heads,
             need_record=need_record, scale=self.d_att ** -0.5,
             use_pallas=use_pallas, true_lk=true_lk,
-            v_slot_base=v_slot_base)
+            v_slot_base=v_slot_base, slot_pe=slot_pe)
         fused_tail = use_pallas == "all+dw"
         cat_tgt2 = self.long_tail(agg, cat_u, size_2d, deterministic,
                                   fused=fused_tail)

@@ -139,12 +139,13 @@ class LSTTBlock(nn.Module):
             local_k, local_v = short_k, short_v
 
         q_t = curr_q + cur_pe if cur_pe is not None else curr_q
-        if slot_pe is not None:
-            bank_k = bank_k + slot_pe[:, None, None, :].astype(bank_k.dtype)
+        # slot temporal PE rides in as a factored q.pe logit bias (exact;
+        # dispatch falls back to the bank_k + pe slab add where needed)
         tgt2, record = bank_attention_dispatch(
             q_t, bank_k, bank_v, slot_mask, self.att_heads,
             need_record=need_record, use_pallas=use_pallas,
-            true_lk=(size_2d[0] * size_2d[1] if id_emb is None else None))
+            true_lk=(size_2d[0] * size_2d[1] if id_emb is None else None),
+            slot_pe=slot_pe)
         tgt2 = self.long_proj(tgt2)
 
         if self.linear_q:

@@ -53,14 +53,21 @@ def bank_attention(q: jnp.ndarray, bank_k: jnp.ndarray, bank_v: jnp.ndarray,
                    slot_mask: jnp.ndarray, num_heads: int,
                    need_record: bool = False,
                    scale: Optional[float] = None,
-                   true_lk: Optional[int] = None
+                   true_lk: Optional[int] = None,
+                   logit_bias: Optional[jnp.ndarray] = None
                    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Cross-attention from the current frame into the memory bank.
 
     q: [B, Lq, Ck] (temporal PE already added by caller)
-    bank_k: [S, B, Lk, Ck] (slot temporal PE already added)
+    bank_k: [S, B, Lk, Ck] (slot temporal PE already added, unless it rides
+      in via logit_bias)
     bank_v: [S, B, Lk, Cv]
     slot_mask: [S] bool — valid slots.
+    logit_bias: [B, h, Lq, S] pre-scaled per-slot additive logit term —
+      the factored form of the slot temporal PE: since the PE is constant
+      over a slot's tokens, q.(k+pe_s) == q.k + q.pe_s, so adding the tiny
+      q.pe product to the logits is exact and skips materializing the
+      bank_k + pe slab (S*B*Lk*Ck, ~100 MB/frame at eval shapes).
 
     Returns (out [B, Lq, Cv], record [B, Lq, S] or None) where record is the
     head-averaged attention mass per slot (sums to 1 over valid slots per
@@ -77,6 +84,8 @@ def bank_attention(q: jnp.ndarray, bank_k: jnp.ndarray, bank_v: jnp.ndarray,
     vh = bank_v.reshape(s, b, lk, num_heads, dv)
 
     logits = jnp.einsum("bqhd,sbkhd->bhqsk", qh, kh) * scale
+    if logit_bias is not None:
+        logits = logits + logit_bias[..., None].astype(logits.dtype)
     logits = jnp.where(slot_mask[None, None, None, :, None], logits, NEG_INF)
     if true_lk is not None and true_lk < lk:
         # bank stored pre-padded to a 128-multiple token count: padded key
@@ -376,12 +385,25 @@ def tiled_local_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out[:, :h2d, :w2d].reshape(b, hw, num_heads * dv)
 
 
+def _slot_pe_bias(q, slot_pe, num_heads, scale):
+    """Factored slot temporal PE: pre-scaled [B, h, Lq, S] logit bias.
+
+    Exact because the PE is constant across a slot's tokens:
+    (q.(k + pe_s)) * scale == q.k * scale + (q.pe_s) * scale."""
+    b, lq, ck = q.shape
+    dh = ck // num_heads
+    qh = q.reshape(b, lq, num_heads, dh).astype(jnp.float32)
+    peh = slot_pe.reshape(slot_pe.shape[0], num_heads, dh).astype(jnp.float32)
+    return jnp.einsum("bqhd,shd->bhqs", qh, peh) * scale
+
+
 def bank_attention_dispatch(q, bank_k, bank_v, slot_mask, num_heads: int,
                             need_record: bool = False,
                             scale: Optional[float] = None,
                             use_pallas: bool = False,
                             true_lk: Optional[int] = None,
-                            v_slot_base: Optional[int] = None):
+                            v_slot_base: Optional[int] = None,
+                            slot_pe: Optional[jnp.ndarray] = None):
     """Route to the fused Pallas kernel or the XLA einsum formulation.
 
     The Pallas path derives the valid-slot count from the (prefix) mask.
@@ -393,7 +415,13 @@ def bank_attention_dispatch(q, bank_k, bank_v, slot_mask, num_heads: int,
     128-multiple token count). v_slot_base (Pallas inference only, callers
     guarantee it) selects this layer's slots from the FULL multi-layer
     value bank so the kernel reads the state buffer with zero copies.
+    slot_pe ([S, Ck]) is the slot temporal PE, applied here as a factored
+    q.pe logit bias on the einsum and pad-aware-kernel paths (exact, and
+    skips rebuilding the bank_k + pe slab every frame); the VJP/q-minor
+    kernels fall back to the slab add.
     """
+    if scale is None:
+        scale = (q.shape[-1] // num_heads) ** -0.5
     if use_pallas:
         import os
         count = jnp.sum(slot_mask.astype(jnp.int32))
@@ -404,10 +432,18 @@ def bank_attention_dispatch(q, bank_k, bank_v, slot_mask, num_heads: int,
             # plain kernel would attend over the zero padding
             from rmem_tpu.kernels.bank_attention import \
                 pallas_bank_attention_infer
+            bias = None
+            if slot_pe is not None:
+                bias = _slot_pe_bias(q, slot_pe, num_heads, scale)
+                b, h, lq, s = bias.shape
+                bias = bias.reshape(b * h, lq, s)
             out, rec = pallas_bank_attention_infer(
                 q, bank_k, bank_v, count, num_heads, scale=scale,
-                true_lk=true_lk, v_slot_base=v_slot_base)
+                true_lk=true_lk, v_slot_base=v_slot_base, qbias=bias)
             return out, (rec if need_record else None)
+        if slot_pe is not None:   # VJP / q-minor kernels: slab add
+            bank_k = bank_k + slot_pe[:, None, None, :].astype(bank_k.dtype)
+            slot_pe = None
         if (use_pallas in ("all", "all+dw")
                 and os.environ.get("RMEM_BANK_QMINOR")):
             # q-minor layout (V streamed once per chunk instead of once per
@@ -426,9 +462,11 @@ def bank_attention_dispatch(q, bank_k, bank_v, slot_mask, num_heads: int,
             out, rec = pallas_bank_attention(q, bank_k, bank_v, count,
                                              num_heads, scale=scale)
         return out, (rec if need_record else None)
+    bias = (None if slot_pe is None
+            else _slot_pe_bias(q, slot_pe, num_heads, scale))
     return bank_attention(q, bank_k, bank_v, slot_mask, num_heads,
                           need_record=need_record, scale=scale,
-                          true_lk=true_lk)
+                          true_lk=true_lk, logit_bias=bias)
 
 
 def interleave_heads(x1: jnp.ndarray, x2: jnp.ndarray,

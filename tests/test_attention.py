@@ -171,3 +171,30 @@ def test_tiled_matches_dense_local_attention(heads, h2d, w2d, max_dis):
                                 (h2d, w2d), heads, max_dis)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_slot_pe_logit_bias_matches_slab_add():
+    """Factored slot-PE bias (dispatch slot_pe=...) must equal adding the
+    PE to bank_k before attention, for multi-head + padded banks."""
+    import numpy as np
+    from rmem_tpu.ops.attention import bank_attention, bank_attention_dispatch
+
+    rng = np.random.RandomState(0)
+    s, b, lk, lq, h, dh = 4, 1, 40, 37, 2, 16
+    ck = h * dh
+    q = jnp.asarray(rng.randn(b, lq, ck), jnp.float32)
+    bank_k = jnp.asarray(rng.randn(s, b, lk, ck), jnp.float32)
+    bank_v = jnp.asarray(rng.randn(s, b, lk, ck), jnp.float32)
+    slot_mask = jnp.asarray([True, True, True, False])
+    pe = jnp.asarray(rng.randn(s, ck), jnp.float32)
+
+    ref_out, ref_rec = bank_attention(
+        q, bank_k + pe[:, None, None, :], bank_v, slot_mask, h,
+        need_record=True, true_lk=33)
+    out, rec = bank_attention_dispatch(
+        q, bank_k, bank_v, slot_mask, h, need_record=True,
+        true_lk=33, slot_pe=pe)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(ref_rec),
+                               atol=1e-6)

@@ -402,3 +402,36 @@ def test_preferred_token_pad():
         assert p >= hw and p % 128 == 0 and p - hw < 4096
         t = _divisor_tile(p, 2304)
         assert p % t == 0 and (t >= 1024 or t == p)
+
+
+def test_pallas_infer_kernel_qbias_matches_slab_add():
+    """Factored slot-PE logit bias through the pad-aware kernel must match
+    the einsum reference with the PE added to bank_k."""
+    from rmem_tpu.kernels.bank_attention import pallas_bank_attention_infer
+
+    rng = np.random.RandomState(11)
+    s, b, heads, dh, dv = 4, 1, 1, 64, 128
+    lq, lk, lk_pad = 150, 150, 256
+    n_valid = 3
+    q = _rand(rng, b, lq, dh)
+    bank_k = np.zeros((s, b, lk_pad, dh), np.float32)
+    bank_v = np.zeros((s, b, lk_pad, dv), np.float32)
+    bank_k[:, :, :lk] = rng.randn(s, b, lk, dh)
+    bank_v[:, :, :lk] = rng.randn(s, b, lk, dv)
+    bank_k, bank_v = jnp.asarray(bank_k), jnp.asarray(bank_v)
+    pe = jnp.asarray(rng.randn(s, dh), np.float32)
+    mask = jnp.arange(s) < n_valid
+    scale = dh ** -0.5
+
+    ref_out, ref_rec = bank_attention(
+        q, bank_k[:, :, :lk] + pe[:, None, None, :], bank_v[:, :, :lk],
+        mask, heads, need_record=True)
+    qbias = (jnp.einsum("bqd,sd->bqs", q, pe) * scale)
+    out, rec = _run_pallas(
+        lambda: pallas_bank_attention_infer(
+            q, bank_k, bank_v, jnp.int32(n_valid), heads,
+            true_lk=lk, qbias=qbias))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(ref_rec),
+                               atol=2e-5)
