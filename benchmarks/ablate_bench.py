@@ -124,16 +124,14 @@ def _apply_ablation(name):
             return jnp.zeros_like(orig(x, out_hw, align_corners))
         eng_mod.resize_bilinear = stub
     elif name == "bankwrite":
-        # only the long-memory write under the cond (append + scored
-        # eviction): both cond branches then return the bank unchanged, so
-        # any cond-forced whole-bank copy disappears with it. id emb, write
+        # only the long-memory write (in-place slot write + scored
+        # eviction): the bank passes through untouched; id emb, write
         # projections, and the short-term update all stay.
         from rmem_tpu.engine import inference as eng_mod
-        eng_mod.bank_append = lambda bank, k, v: bank.replace(
-            count=jnp.minimum(bank.count + 1, bank.capacity))
-        eng_mod.evict_if_full = \
-            lambda bank, f, l, record=None, fg=None, use_attn_weight=False: \
-            bank
+        eng_mod.update_bank_inplace = \
+            lambda bank, k, v, do, f, l, record=None, fg=None, \
+            use_attn_weight=False: bank.replace(
+                count=jnp.minimum(bank.count + 1, bank.capacity))
     elif name == "idemb":
         from rmem_tpu.engine import inference as eng_mod
         orig = eng_mod.InferenceEngine._id_emb

@@ -24,9 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from rmem_tpu.config import Config
-from rmem_tpu.memory import (MemoryBank, bank_append, evict_if_full,
-                             init_bank, valid_slot_mask)
-from rmem_tpu.memory.eviction import evict_if_full_gru
+from rmem_tpu.memory import (MemoryBank, bank_append, init_bank,
+                             valid_slot_mask)
+from rmem_tpu.memory.eviction import evict_if_full_gru, update_bank_inplace
 from rmem_tpu.ops.masks import apply_ignore_token, mask_unused_ids, one_hot_mask
 from rmem_tpu.ops.resize import resize_bilinear
 from rmem_tpu.ops.temporal_pe import interpolate_temporal_pe
@@ -245,6 +245,11 @@ class InferenceEngine:
             cur_pe, mem = self._apply(params, type(self.model).temporal_pe)
             slot_pe = interpolate_temporal_pe(mem, state.bank.count,
                                               state.bank.capacity)
+            # rank -> physical: slots are order-indexed (update_bank_inplace
+            # overwrites evicted slots in place), so each physical slot
+            # takes the PE of its temporal rank. Identity while the bank is
+            # in temporal order (fill-up / compaction paths).
+            slot_pe = jnp.take(slot_pe, state.bank.order, axis=0)
         intermediates, mems, record = self._apply(
             params, type(self.model).lstt_forward, feat,
             self._bank_tuple(state.bank), valid_slot_mask(state.bank),
@@ -262,30 +267,31 @@ class InferenceEngine:
         lk, lv, sk, sv = self._apply(
             params, type(self.model).write_memories, state.mems, id_emb)
 
-        do_long = jnp.logical_and(
-            jnp.asarray(not cfg.no_long_memory),
-            state.frame_step - state.last_mem_step >= state.gap)
+        if cfg.no_long_memory:
+            return state.replace(short_k=sk, short_v=sv)
 
-        # the whole long-memory write (append + scored eviction + bank
-        # compaction) runs under lax.cond: it touches the full bank
-        # (hundreds of MB of HBM traffic) but fires only every `gap` frames
-        # — a masked-select formulation would pay it EVERY frame
-        def no_write(_):
-            return state.bank, state.gru_hid_k, state.gru_hid_v
+        do_long = state.frame_step - state.last_mem_step >= state.gap
 
-        def write(_):
-            appended = bank_append(state.bank, lk, lv)
-            record, fg = None, None
-            if self.need_record and state.record is not None:
-                # fg prob at encoder resolution (aot_engine.py:355-362)
-                b_, hw = lk.shape[1], lk.shape[2]
-                up = resize_bilinear(state.logits4x, self._enc_hw(state),
-                                     cfg.model_align_corners)
-                prob = jax.nn.softmax(up.astype(jnp.float32), axis=-1)
-                record = state.record
-                fg = (1.0 - prob[..., 0]).reshape(b_, hw)
+        record, fg = None, None
+        if self.need_record and state.record is not None:
+            # fg prob at encoder resolution (aot_engine.py:355-362); cheap
+            # enough ([B, hw] softmax + resize) to compute every frame
+            b_, hw = lk.shape[1], lk.shape[2]
+            up = resize_bilinear(state.logits4x, self._enc_hw(state),
+                                 cfg.model_align_corners)
+            prob = jax.nn.softmax(up.astype(jnp.float32), axis=-1)
+            record = state.record
+            fg = (1.0 - prob[..., 0]).reshape(b_, hw)
 
-            if cfg.gru_memory_active:
+        if cfg.gru_memory_active:
+            # the ConvGRU compression is too heavy to run every frame, so
+            # this (off-by-default) variant keeps the lax.cond append+evict
+            # — it pays the cond-join bank copy each frame
+            def no_write(_):
+                return state.bank, state.gru_hid_k, state.gru_hid_v
+
+            def write(_):
+                appended = bank_append(state.bank, lk, lv)
                 eh, ew = self._enc_hw(state)
 
                 def compress_fn(ks, vs, hk, hv):
@@ -308,17 +314,17 @@ class InferenceEngine:
                     compress_fn, state.gru_hid_k, state.gru_hid_v,
                     record, fg, use_attn_weight=record is not None)
                 return evicted, nhk, nhv
-            if record is not None:
-                evicted = evict_if_full(appended, cfg.former_mem_len,
-                                        cfg.latter_mem_len, record, fg,
-                                        use_attn_weight=True)
-            else:
-                evicted = evict_if_full(appended, cfg.former_mem_len,
-                                        cfg.latter_mem_len,
-                                        use_attn_weight=False)
-            return evicted, state.gru_hid_k, state.gru_hid_v
 
-        new_bank, ghk, ghv = jax.lax.cond(do_long, write, no_write, None)
+            new_bank, ghk, ghv = jax.lax.cond(do_long, write, no_write, None)
+        else:
+            # order-indexed in-place write: unconditional one-slot
+            # dynamic_update_slice (no cond-join copy of the bank carry,
+            # no compaction gather — see memory/eviction.update_bank_inplace)
+            new_bank = update_bank_inplace(
+                state.bank, lk, lv, do_long,
+                cfg.former_mem_len, cfg.latter_mem_len, record, fg,
+                use_attn_weight=record is not None)
+            ghk, ghv = state.gru_hid_k, state.gru_hid_v
         return state.replace(
             bank=new_bank,
             short_k=sk, short_v=sv,

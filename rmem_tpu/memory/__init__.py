@@ -6,4 +6,7 @@ from rmem_tpu.memory.bank import (  # noqa: F401
     bank_compact,
     valid_slot_mask,
 )
-from rmem_tpu.memory.eviction import evict_if_full  # noqa: F401
+from rmem_tpu.memory.eviction import (  # noqa: F401
+    evict_if_full,
+    update_bank_inplace,
+)

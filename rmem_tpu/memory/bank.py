@@ -39,6 +39,15 @@ class MemoryBank:
       score:  moving-mean attention mass per slot (factor 0.8)
       scored: whether `score` holds a value (dict-membership equivalent)
       times:  eviction rounds survived (UCB visit counts)
+
+    `order` maps physical slot -> temporal rank (always a permutation of
+    0..S-1; valid slots hold ranks 0..count-1). Under the compaction path
+    (bank_append + bank_compact) physical order equals temporal order, so
+    `order` stays `arange` and is never touched. The order-indexed
+    inference path (eviction.update_bank_inplace) instead replaces evicted
+    slots IN PLACE and tracks temporal position here — bank attention is
+    slot-order invariant once the per-slot temporal PE is gathered by
+    `order` (see ops.attention._slot_pe_bias factoring).
     """
 
     k: jnp.ndarray
@@ -47,6 +56,7 @@ class MemoryBank:
     score: jnp.ndarray        # [S] float32
     scored: jnp.ndarray       # [S] bool
     times: jnp.ndarray        # [S] int32
+    order: jnp.ndarray        # [S] int32 physical slot -> temporal rank
 
     @property
     def capacity(self) -> int:
@@ -76,6 +86,7 @@ def init_bank(num_layers: int, capacity: int, batch: int, hw: int,
         score=jnp.zeros((capacity,), jnp.float32),
         scored=jnp.zeros((capacity,), bool),
         times=jnp.zeros((capacity,), jnp.int32),
+        order=jnp.arange(capacity, dtype=jnp.int32),
     )
 
 
@@ -90,6 +101,9 @@ def bank_append(bank: MemoryBank, new_k: jnp.ndarray, new_v: jnp.ndarray
 
     new_k: [L, B, HW, Ck]. Assumes count < capacity, which the engine
     guarantees by evicting back to former+latter after every append.
+    Assumes physical order == temporal order (`order[count] == count`),
+    which holds everywhere this is used (fresh or compaction-path banks);
+    the order-indexed path appends through update_bank_inplace instead.
     """
     idx = bank.count
 

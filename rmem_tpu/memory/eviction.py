@@ -116,6 +116,109 @@ def evict_if_full(bank: MemoryBank, former_len: int, latter_len: int,
         lambda a, b: jnp.where(should, a, b), evicted, stats_bank)
 
 
+def update_bank_inplace(bank: MemoryBank, new_k: jnp.ndarray,
+                        new_v: jnp.ndarray, do_write: jnp.ndarray,
+                        former_len: int, latter_len: int,
+                        record_mass: Optional[jnp.ndarray] = None,
+                        fg_prob: Optional[jnp.ndarray] = None,
+                        use_attn_weight: bool = True) -> MemoryBank:
+    """Fused append+evict with order-indexed slots: ONE single-slot write.
+
+    Semantically equivalent to `bank_append` followed by `evict_if_full`
+    (the reference's cat-then-restrict, transformer.py:306-436), but slots
+    never move: when the bank is full the new slot OVERWRITES the victim
+    and temporal position is tracked in `bank.order`. Three costs vanish:
+
+      - the compaction gather (two full-bank HBM passes every gap-th frame);
+      - the lax.cond over the bank carry — the cond join copied the whole
+        bank EVERY frame (~1.1 ms/frame at 480p, r3 ablation). Here the K/V
+        update is an UNCONDITIONAL dynamic_update_slice of one slot, which
+        XLA performs in place on the donated scan carry;
+      - the transient capacity+1 state: steady-state count tops out at
+        former+latter, so the spare physical slot (capacity-1) is never
+        valid — frames with do_write=False dump their (finite, masked-out)
+        write there instead of branching.
+
+    The victim choice is computed PRE-append, which is equivalent: the
+    reference's candidate set [ignore_former, n_old) excludes the slot it
+    just appended, and the recorded attention mass covers exactly the
+    pre-append slots (transformer.py:404-411,636-643).
+
+    new_k: [L, B, HWpad, Ck] (token-padded to the bank slot width by the
+    caller). record_mass/fg_prob as in scored_drop_index; with
+    use_attn_weight=False eviction is FIFO at temporal rank `former_len`.
+    """
+    capacity = bank.capacity
+    assert capacity > former_len + latter_len, (
+        "order-indexed path needs the spare slot for no-op writes")
+    slot_ids = jnp.arange(capacity)
+    n_old = bank.count                       # pre-append valid slots
+    is_full = n_old >= (former_len + latter_len)
+    valid = slot_ids < n_old
+
+    if use_attn_weight:
+        assert record_mass is not None and fg_prob is not None
+        # importance x freshness, keyed by PHYSICAL slot (stats never move
+        # because slots never move; the reference's frame-id-keyed dicts
+        # are reproduced by resetting a slot's stats when it is rewritten)
+        w = jnp.einsum("bqs,bq->s", record_mass.astype(jnp.float32),
+                       fg_prob.astype(jnp.float32)) / record_mass.shape[0]
+        w = jnp.where(valid, w, 0.0)
+        w = w / jnp.maximum(jnp.sum(w), 1e-12)
+        new_score = jnp.where(
+            bank.scored, (1.0 - MOVING_MEAN_FACTOR) * bank.score
+            + MOVING_MEAN_FACTOR * w, w)
+        new_score = jnp.where(valid, new_score, bank.score)
+        new_scored = bank.scored | valid
+        new_times = jnp.where(valid, bank.times + 1, bank.times)
+        counts = jnp.where(valid, new_times.astype(jnp.float32), 0.0)
+        # the reference slot is pinned; it is never a candidate so it never
+        # moves — physical slot 0 IS temporal rank 0 forever
+        counts = counts.at[0].set(n_old.astype(jnp.float32))
+        bonus = UCB_MUL * jnp.sqrt(jnp.log(jnp.sum(counts))
+                                   / (counts + UCB_ADD))
+        candidates = (bank.order >= IGNORE_FORMER) & valid
+        score_total = jnp.where(candidates, new_score + bonus, _INF)
+        victim = jnp.argmin(score_total).astype(jnp.int32)
+    else:
+        # FIFO at temporal rank former_len (transformer.py:335): the victim
+        # is the physical slot holding that rank
+        victim = jnp.argmax(bank.order == former_len).astype(jnp.int32)
+        new_score, new_scored, new_times = bank.score, bank.scored, bank.times
+
+    target = jnp.where(is_full, victim, n_old)
+    # no-op frames write the (finite) slot into the never-valid spare
+    write_idx = jnp.where(do_write, target, capacity - 1)
+
+    # --- [S]-sized metadata (all gated, negligible cost) ---------------
+    victim_rank = bank.order[target]
+    new_rank = jnp.where(is_full, n_old - 1, n_old)
+    # close the rank gap among VALID slots only (the spare keeps its rank)
+    dec = is_full & (bank.order > victim_rank) & (bank.order < n_old)
+    order2 = jnp.where(dec, bank.order - 1, bank.order)
+    order2 = jnp.where(slot_ids == target, new_rank, order2)
+    new_order = jnp.where(do_write, order2, bank.order)
+
+    # stats update only on eviction rounds (transformer.py:332 early-returns
+    # when not full), and the rewritten slot starts fresh
+    upd = do_write & is_full
+    fresh = upd & (slot_ids == target)
+    score_u = jnp.where(fresh, 0.0, jnp.where(upd, new_score, bank.score))
+    scored_u = jnp.where(fresh, False,
+                         jnp.where(upd, new_scored, bank.scored))
+    times_u = jnp.where(fresh, 1, jnp.where(upd, new_times, bank.times))
+
+    def put(arr, new):
+        return jax.lax.dynamic_update_slice(
+            arr, new[:, None].astype(arr.dtype), (0, write_idx, 0, 0, 0))
+
+    return bank.replace(
+        k=put(bank.k, new_k), v=put(bank.v, new_v),
+        count=jnp.where(do_write & ~is_full, n_old + 1, n_old),
+        score=score_u, scored=scored_u, times=times_u, order=new_order,
+    )
+
+
 def evict_if_full_gru(bank: MemoryBank, former_len: int, latter_len: int,
                       compress_fn, hid_k, hid_v,
                       record_mass: Optional[jnp.ndarray] = None,

@@ -141,6 +141,109 @@ def test_scored_eviction_matches_reference_sim():
                 err_msg=f"slot {slot_i} after frame {f}")
 
 
+def _rank_to_phys(bank):
+    """rank -> physical slot index from the order permutation."""
+    return np.argsort(np.asarray(bank.order))
+
+
+def _assert_logical_equal(bank_p, bank_c, check_stats=True):
+    """In-place (order-indexed) bank == compaction bank, rank-aligned."""
+    assert int(bank_p.count) == int(bank_c.count)
+    phys = _rank_to_phys(bank_p)
+    for r in range(int(bank_c.count)):
+        p = phys[r]
+        np.testing.assert_array_equal(np.asarray(bank_p.k[:, p]),
+                                      np.asarray(bank_c.k[:, r]),
+                                      err_msg=f"k rank {r}")
+        np.testing.assert_array_equal(np.asarray(bank_p.v[:, p]),
+                                      np.asarray(bank_c.v[:, r]),
+                                      err_msg=f"v rank {r}")
+        if check_stats:
+            np.testing.assert_allclose(float(bank_p.score[p]),
+                                       float(bank_c.score[r]), rtol=1e-5,
+                                       err_msg=f"score rank {r}")
+            assert bool(bank_p.scored[p]) == bool(bank_c.scored[r]), r
+            assert int(bank_p.times[p]) == int(bank_c.times[r]), r
+
+
+def test_inplace_update_matches_compaction_scored():
+    """update_bank_inplace == bank_append + evict_if_full (scored path),
+    with record mass permuted into each bank's physical layout."""
+    from rmem_tpu.memory import update_bank_inplace
+
+    rng = np.random.RandomState(6)
+    bank_c = init_bank(L, CAP, B, HW, CK, CV)
+    bank_p = init_bank(L, CAP, B, HW, CK, CV)
+
+    for f in range(14):
+        k, v = _new_slot(rng)
+        kj, vj = jnp.asarray(k), jnp.asarray(v)
+        # logical (rank-space) record + fg, shared by both flows
+        n_old = int(bank_c.count)
+        rec_rank = rng.rand(B, HW, CAP).astype(np.float32)
+        rec_rank[..., n_old:] = 777.0   # garbage beyond valid slots
+        fg = jnp.asarray(rng.rand(B, HW).astype(np.float32))
+
+        # interleave a no-op frame: must not change logical content
+        noop = update_bank_inplace(
+            bank_p, kj, vj, jnp.asarray(False), FORMER, LATTER,
+            jnp.asarray(rec_rank[..., np.asarray(bank_p.order)]), fg, True)
+        _assert_logical_equal(noop, bank_c)
+        bank_p = noop
+
+        # memory-write event
+        rec_p = rec_rank[..., np.asarray(bank_p.order)]  # rank -> physical
+        bank_p = update_bank_inplace(
+            bank_p, kj, vj, jnp.asarray(True), FORMER, LATTER,
+            jnp.asarray(rec_p), fg, True)
+        bank_c = bank_append(bank_c, kj, vj)
+        bank_c = evict_if_full(bank_c, FORMER, LATTER,
+                               record_mass=jnp.asarray(rec_rank),
+                               fg_prob=fg, use_attn_weight=True)
+        _assert_logical_equal(bank_p, bank_c)
+        # order stays a permutation; spare slot never becomes valid
+        assert sorted(np.asarray(bank_p.order).tolist()) == list(range(CAP))
+        assert int(bank_p.count) <= FORMER + LATTER
+
+
+def test_inplace_update_matches_compaction_fifo():
+    from rmem_tpu.memory import update_bank_inplace
+
+    rng = np.random.RandomState(7)
+    bank_c = init_bank(L, CAP, B, HW, CK, CV)
+    bank_p = init_bank(L, CAP, B, HW, CK, CV)
+    for f in range(10):
+        k, v = _new_slot(rng)
+        kj, vj = jnp.asarray(k), jnp.asarray(v)
+        bank_p = update_bank_inplace(bank_p, kj, vj, jnp.asarray(True),
+                                     FORMER, LATTER, use_attn_weight=False)
+        bank_c = bank_append(bank_c, kj, vj)
+        bank_c = evict_if_full(bank_c, FORMER, LATTER,
+                               use_attn_weight=False)
+        _assert_logical_equal(bank_p, bank_c, check_stats=False)
+
+
+def test_inplace_update_jittable():
+    from rmem_tpu.memory import update_bank_inplace
+
+    rng = np.random.RandomState(8)
+    bank = init_bank(L, CAP, B, HW, CK, CV)
+    rec = jnp.asarray(rng.rand(B, HW, CAP).astype(np.float32))
+    fg = jnp.asarray(rng.rand(B, HW).astype(np.float32))
+
+    @jax.jit
+    def step(b, kv, do):
+        return update_bank_inplace(b, kv[0], kv[1], do, FORMER, LATTER,
+                                   rec, fg, True)
+
+    for f in range(8):
+        k, v = _new_slot(rng)
+        bank = step(bank, (jnp.asarray(k), jnp.asarray(v)),
+                    jnp.asarray(f % 2 == 0))
+    assert bank.k.shape == (L, CAP, B, HW, CK)
+    assert int(bank.count) == FORMER + LATTER
+
+
 def test_eviction_jittable_and_static_shape():
     rng = np.random.RandomState(5)
     bank = init_bank(L, CAP, B, HW, CK, CV)
