@@ -124,14 +124,22 @@ def _apply_ablation(name):
             return jnp.zeros_like(orig(x, out_hw, align_corners))
         eng_mod.resize_bilinear = stub
     elif name == "bankwrite":
-        # only the long-memory write (in-place slot write + scored
-        # eviction): the bank passes through untouched; id emb, write
-        # projections, and the short-term update all stay.
+        # only the long-memory K/V slot write: run the REAL update for the
+        # count/order/stats schedule (so the attention workload stays
+        # bit-identical — naive count stubs inflate the valid-slot count
+        # and measure MORE attention, not less write), then restore the
+        # original K/V so XLA dead-code-eliminates the two big
+        # dynamic_update_slices. id emb, write projections, eviction
+        # metadata, and the short-term update all stay.
         from rmem_tpu.engine import inference as eng_mod
-        eng_mod.update_bank_inplace = \
-            lambda bank, k, v, do, f, l, record=None, fg=None, \
-            use_attn_weight=False: bank.replace(
-                count=jnp.minimum(bank.count + 1, bank.capacity))
+        orig_upd = eng_mod.update_bank_inplace
+
+        def stub(bank, k, v, do, f, l, record=None, fg=None,
+                 use_attn_weight=False):
+            real = orig_upd(bank, k, v, do, f, l, record, fg,
+                            use_attn_weight)
+            return real.replace(k=bank.k, v=bank.v)
+        eng_mod.update_bank_inplace = stub
     elif name == "idemb":
         from rmem_tpu.engine import inference as eng_mod
         orig = eng_mod.InferenceEngine._id_emb
