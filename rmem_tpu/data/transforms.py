@@ -74,6 +74,19 @@ def resize_label(label: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
     return label[rows][:, cols]
 
 
+def prep_eval_frame(image: np.ndarray, hw: Tuple[int, int],
+                    flip: bool = False) -> np.ndarray:
+    """The eval-path frame prep, shared by Evaluator and demo: cubic-resize
+    FLOAT32 pixels (the reference resizes float before normalizing,
+    video_transforms.py:635-639 — resizing uint8 rounds + clips the cubic
+    overshoot), then normalize, then flip. Returns HWC float32 numpy."""
+    img = resize_image(np.asarray(image, np.float32), hw)
+    img = normalize_image(img)
+    if flip:
+        img = img[:, ::-1].copy()
+    return img
+
+
 def normalize_image(img: np.ndarray) -> np.ndarray:
     """uint8 HWC -> float32 normalized (video_transforms.py:676-680).
     Fused native path when available."""

@@ -34,8 +34,8 @@ import numpy as np
 
 from rmem_tpu.config import Config
 from rmem_tpu.data.eval_datasets import build_eval_dataset
-from rmem_tpu.data.transforms import (normalize_image, resize_label,
-                                      resize_image, restrict_size)
+from rmem_tpu.data.transforms import (prep_eval_frame, resize_label,
+                                      restrict_size)
 from rmem_tpu.engine import (InferenceEngine, separate_mask,
                              soft_logit_aggregation)
 from rmem_tpu.models import build_vos_model, init_params, load_model_params
@@ -146,16 +146,9 @@ class Evaluator:
         hw = restrict_size(h, w, self.cfg.test_max_size,
                            self.cfg.test_min_size, aug.scale,
                            self.cfg.model_align_corners)
-        # resize the FLOAT image: the reference cubic-resizes float32 pixels
-        # before normalizing (video_transforms.py:635-639,676-680); resizing
-        # uint8 would round + clip the cubic overshoot.
         # Returns NUMPY: the H2D transfer happens once per chunk at dispatch
         # (a per-frame device_put pays a full tunnel round-trip per frame).
-        img = resize_image(np.asarray(image, np.float32), hw)
-        img = normalize_image(img)
-        if aug.flip:
-            img = img[:, ::-1].copy()
-        return img[None]
+        return prep_eval_frame(image, hw, aug.flip)[None]
 
     def _prep_label(self, label: np.ndarray, hw, flip: bool):
         """Reference order: flip at ORIGINAL resolution, then nearest-resize

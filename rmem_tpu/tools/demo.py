@@ -29,8 +29,8 @@ def main():
     from PIL import Image
 
     from rmem_tpu.config import get_config
-    from rmem_tpu.data.transforms import (normalize_image, resize_image,
-                                          resize_label, restrict_size)
+    from rmem_tpu.data.transforms import (prep_eval_frame, resize_label,
+                                          restrict_size)
     from rmem_tpu.engine import InferenceEngine, separate_mask, \
         soft_logit_aggregation
     from rmem_tpu.models import build_vos_model, init_params
@@ -58,14 +58,21 @@ def main():
     for i, fname in enumerate(frames):
         raw = cv2.imread(os.path.join(args.frames_dir, fname))[:, :, ::-1]
         ori_h, ori_w = raw.shape[:2]
-        hw = restrict_size(ori_h, ori_w, cfg.test_max_size)
-        img = jnp.asarray(normalize_image(resize_image(raw, hw))[None])
+        hw = restrict_size(ori_h, ori_w, cfg.test_max_size,
+                           cfg.test_min_size, 1.0, cfg.model_align_corners)
+        # shared with Evaluator._prep_frame: float32-cubic-resize THEN
+        # normalize (video_transforms.py:635-639) so demo masks match the
+        # parity-verified eval path exactly.
+        img = jnp.asarray(prep_eval_frame(raw, hw)[None])
         if i == 0:
             lab = resize_label(first, hw)
             glab = separate_mask(jnp.asarray(lab[None]), groups,
                                  cfg.model_max_obj_num)
+            # ghost-identity semantics: every group is told it has the full
+            # MODEL_MAX_OBJ_NUM objects, matching the reference inference
+            # engine (aot_engine.py:686-699) and our Evaluator.
             state, _ = engine.add_reference(
-                img, glab, [min(int(first.max()), 10)] * groups,
+                img, glab, [cfg.model_max_obj_num] * groups,
                 gap=args.gap)
             pred = first
         else:
