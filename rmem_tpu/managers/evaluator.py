@@ -187,12 +187,29 @@ class Evaluator:
         self.writer.join()
         total_frames = sum(r.num_frames - 1 for r in results)
         total_time = sum(r.seconds for r in results)
-        return {
+        stats = {
             "per_seq_fps": {r.name: r.fps for r in results},
             "all_frame_fps": total_frames / max(total_time, 1e-9),
             "all_seq_fps": float(np.mean([r.fps for r in results]))
             if results else 0.0,
         }
+        if jax.process_count() > 1:
+            # merge scalar stats across hosts (the reference's info_queue
+            # reduction, evaluator.py:589-613): global frame count and the
+            # max per-host wall time (hosts run concurrently, so global FPS
+            # is frames / slowest-host time)
+            from rmem_tpu.parallel.eval_sharding import allreduce_stats
+            g = allreduce_stats({
+                "frames": float(total_frames),
+                "seconds_sum": float(total_time),
+                "seqs": float(len(results)),
+            })
+            stats["global_frames"] = g["frames"]
+            stats["global_seqs"] = g["seqs"]
+            stats["global_all_frame_fps"] = (
+                g["frames"] / max(g["seconds_sum"] / jax.process_count(),
+                                  1e-9))
+        return stats
 
     # ------------------------------------------------------------------
     def _prefetch(self, seq, max_frames: Optional[int], prep: bool = True):

@@ -1,0 +1,57 @@
+"""Worker for test_multihost_eval: one of two jax.distributed CPU processes
+running the real Evaluator with length-aware host sharding + allreduce_stats.
+
+Usage: python _multihost_eval_worker.py PORT PID OUTDIR
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    port, pid, outdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=1"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=2, process_id=pid)
+    from rmem_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache("/tmp/rmem_tpu_jax_cache_cpu")
+
+    from rmem_tpu.config import get_config
+    from rmem_tpu.data.eval_datasets import sequence_lengths
+    from rmem_tpu.managers.evaluator import Evaluator
+    from rmem_tpu.models import build_vos_model, init_params
+    from rmem_tpu.parallel.eval_sharding import host_sequence_indices
+
+    cfg = get_config("test", model="tiny_deaotl", test_dataset="test",
+                     test_ckpt_path="test")
+    model = build_vos_model(cfg.model_vos, cfg)
+    params = init_params(model, jax.random.PRNGKey(0))
+    ev = Evaluator(cfg, params=params,
+                   output_root=os.path.join(outdir, f"masks_p{pid}"),
+                   log=lambda *a: None)
+    lengths = sequence_lengths(ev.dataset)
+    indices = host_sequence_indices(len(ev.dataset), lengths=lengths)
+    stats = ev.evaluate(max_frames=4)
+
+    with open(os.path.join(outdir, f"p{pid}.json"), "w") as f:
+        json.dump({
+            "pid": pid,
+            "process_count": jax.process_count(),
+            "indices": indices,
+            "stats": {k: v for k, v in stats.items()
+                      if k != "per_seq_fps"},
+            "seq_names": sorted(stats["per_seq_fps"]),
+        }, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -67,22 +67,45 @@ def test_train_step_loss_decreases():
 
 
 def test_parallel_train_step_multidev():
+    """2-way data parallel == single-device at the same global batch: loss
+    and updated params allclose (the DDP correctness contract being
+    replaced, reference trainer.py:92-109). The TP test closes the
+    dp-vs-dpxtp edge; this closes single-vs-dp."""
     if len(jax.devices()) < 2:
         pytest.skip("needs 2+ virtual devices")
-    cfg = get_config("test", model="tiny_deaotl", train_total_steps=100)
+    cfg = get_config("test", model="tiny_deaotl", train_total_steps=100,
+                     compute_dtype="float32")
     model = build_vos_model(cfg.model_vos, cfg)
     params = init_params(model, jax.random.PRNGKey(0), HW)
     tx = make_optimizer(params, cfg)
-    state = TrainState.create(params, cfg)
-    mesh = make_mesh((2,), ("data",))
-    pstep = make_parallel_train_step(make_train_step(model, cfg, tx), mesh)
-    batch = shard_batch(_batch(2, 2), mesh)
     from rmem_tpu.ops.masks import host_id_shuffle_matrix
     shuffle = jnp.asarray(host_id_shuffle_matrix(np.random.RandomState(0),
                                                  11, 2))
+    params2 = jax.tree_util.tree_map(jnp.array, params)  # steps donate arg 0
+
+    # single-device step at the full global batch
+    state_sd = TrainState.create(params, cfg)
+    step_sd = jax.jit(make_train_step(model, cfg, tx))
+    st_sd, m_sd = step_sd(state_sd, _batch(2, 2), shuffle)
+
+    # 2-way data-parallel step, same global batch
+    state = TrainState.create(params2, cfg)
+    mesh = make_mesh((2,), ("data",))
+    pstep = make_parallel_train_step(make_train_step(model, cfg, tx), mesh)
+    batch = shard_batch(_batch(2, 2), mesh)
     state, metrics = pstep(state, batch, shuffle)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(m_sd["loss"]),
+                               rtol=2e-4)
+    flat_dp = jax.tree_util.tree_leaves_with_path(state.params)
+    flat_sd = dict(jax.tree_util.tree_leaves_with_path(st_sd.params))
+    for path, leaf_dp in flat_dp:
+        a, b = np.asarray(leaf_dp), np.asarray(flat_sd[path])
+        np.testing.assert_allclose(
+            a, b, atol=2e-5,
+            err_msg=jax.tree_util.keystr(path))
 
 
 def test_parallel_train_step_tensor_parallel():
