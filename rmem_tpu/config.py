@@ -185,6 +185,14 @@ class Config:
     # noise): 4x less H2D traffic and no per-frame host resize. Float-frame
     # synthetic datasets (determinism probes) auto-fall-back to host prep.
     eval_device_prep: bool = True
+    # LOSSY reduced-bytes upload: pack frames as planar YUV 4:2:0 on the
+    # host (cv2) and reconstruct on device (ops/color.py) — halves H2D
+    # bytes/frame (1.5 vs 3 B/px), which is the binding resource on the
+    # tunneled rig (VERDICT r3 Weak #1). Chroma is 2x2-subsampled: masks
+    # may differ by isolated argmax-tie pixels, so keep OFF for parity
+    # runs. Requires eval_device_prep and even frame dims (auto-falls-back
+    # to RGB otherwise).
+    eval_yuv420_upload: bool = False
     # training fwd+bwd through the fused kernel (flash-style custom VJP,
     # kernels/bank_attention.py): 1.9x faster batch-4 train step on chip
     # (benchmarks/train_bench.py). Auto-falls-back to the XLA path on the

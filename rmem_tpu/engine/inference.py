@@ -88,6 +88,14 @@ class InferenceEngine:
         import jax as _jax
         self.model = model
         if cast_params and cfg.compute_dtype == "bfloat16":
+            # Fold FoldedBN scales into the preceding conv kernels (pure
+            # f32 param transform at load; VERDICT r3 Next #3). Only on the
+            # bf16 fast path: conv(x, W*s) == conv(x, W)*s exactly in real
+            # arithmetic, and in bf16 the difference is below the rounding
+            # already present; the f32 parity path keeps the unfolded
+            # order so PARITY_RUN's bit-identical claim stands.
+            from rmem_tpu.models.encoders import fold_bn_params
+            params = fold_bn_params(params)
             # Pre-cast float params to the compute dtype ONCE. Halves the
             # resident param HBM footprint (~100 MB f32 -> ~50 MB for
             # r50_deaotl) and removes the per-frame weight converts from
@@ -449,7 +457,14 @@ class InferenceEngine:
         from rmem_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
         from rmem_tpu.ops.resize import resize_cubic
 
-        x = resize_cubic(raw.astype(jnp.float32), in_hw)
+        if raw.ndim == 3:
+            # planar I420 [K, H0*3//2, W0]: reduced-bytes upload mode
+            # (config.eval_yuv420_upload) — device-side chroma upsample +
+            # BT.601 inverse, then the same cubic/normalize pipeline
+            from rmem_tpu.ops.color import yuv420_to_rgb
+            x = resize_cubic(yuv420_to_rgb(raw), in_hw)
+        else:
+            x = resize_cubic(raw.astype(jnp.float32), in_hw)
         mean = jnp.asarray(IMAGENET_MEAN) * 255.0
         std = jnp.asarray(IMAGENET_STD) * 255.0
         x = (x - mean) / std

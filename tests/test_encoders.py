@@ -120,3 +120,68 @@ def test_stem_s2d_matches_plain_conv():
         assert out.shape == ref.shape, (h, w, out.shape, ref.shape)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("name", ["resnet50", "mobilenetv2", "mobilenetv3",
+                                  "resnest50"])
+def test_fold_bn_params_exact(name):
+    """fold_bn_params (BN scale premultiplied into conv kernels at load)
+    leaves every pyramid level numerically unchanged in f32 — validates
+    the name-based conv/bn pairing rule per encoder family."""
+    from rmem_tpu.models.encoders import fold_bn_params
+
+    enc = build_encoder(name)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 65, 65, 3)
+                    .astype(np.float32))
+    params = jax.jit(lambda: enc.init(jax.random.PRNGKey(0), x))()
+    # randomize the BN affines so folding errors are visible (init is
+    # scale=1/bias=0, which would make folding a no-op)
+    rng = np.random.RandomState(1)
+
+    def rand_bn(node):
+        if isinstance(node, dict):
+            if set(node) == {"scale", "bias"}:
+                return {
+                    "scale": jnp.asarray(
+                        rng.rand(*node["scale"].shape).astype(np.float32)
+                        + 0.5),
+                    "bias": jnp.asarray(
+                        rng.randn(*node["bias"].shape).astype(np.float32)),
+                }
+            return {k: rand_bn(v) for k, v in node.items()}
+        return node
+
+    p = rand_bn(params["params"])
+    folded = fold_bn_params({"encoder": p})["encoder"]
+
+    # the fold must actually fire: at least one bn scale became ones
+    def count_unit_scales(node):
+        if isinstance(node, dict):
+            if set(node) == {"scale", "bias"}:
+                return int(np.allclose(np.asarray(node["scale"]), 1.0))
+            return sum(count_unit_scales(v) for v in node.values())
+        return 0
+
+    assert count_unit_scales(folded) > 0, "no conv/bn pair was folded"
+
+    outs_ref = enc.apply({"params": p}, x)
+    outs_fold = enc.apply({"params": folded}, x)
+    if isinstance(outs_ref, dict):  # topdown returns dict
+        outs_ref, outs_fold = list(outs_ref.values()), list(outs_fold.values())
+    for a, b in zip(jax.tree_util.tree_leaves(outs_ref),
+                    jax.tree_util.tree_leaves(outs_fold)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fold_bn_params_noop_without_bn():
+    """Encoders without FoldedBN (tiny family) pass through unchanged."""
+    from rmem_tpu.models.encoders import fold_bn_params
+
+    enc = build_encoder("tiny")
+    x = jnp.zeros((1, 65, 65, 3))
+    params = jax.jit(lambda: enc.init(jax.random.PRNGKey(0), x))()
+    folded = fold_bn_params({"encoder": params["params"]})["encoder"]
+    for a, b in zip(jax.tree_util.tree_leaves(params["params"]),
+                    jax.tree_util.tree_leaves(folded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

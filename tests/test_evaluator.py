@@ -385,3 +385,103 @@ def test_chunk_pipeline_order_and_errors():
     finally:
         p2.close()
     assert raised
+
+
+def test_yuv420_upload_matches_rgb_device_prep(tmp_path):
+    """eval_yuv420_upload=True (planar I420 host pack, device-side decode):
+    the YUV path on ORIGINAL frames must match the RGB device-prep path fed
+    the HOST-decoded I420 frames (cv2) — isolating the implementation from
+    the inherent chroma loss, which the ops-level roundtrip test bounds.
+    Residual diffs are the <=1 LSB decode mismatch, so allow isolated
+    argmax-tie flips only."""
+    import cv2
+
+    from rmem_tpu.config import get_config
+    from rmem_tpu.managers.evaluator import Evaluator
+    from rmem_tpu.ops.color import rgb_to_yuv420
+
+    def _frames():
+        rng = np.random.RandomState(3)
+        out = []
+        for _ in range(4):
+            small = rng.randint(0, 255, (20, 30, 3), np.uint8)
+            out.append(cv2.resize(small, (240, 160),
+                                  interpolation=cv2.INTER_CUBIC))
+        return out
+
+    lab = np.zeros((160, 240), np.uint8)
+    lab[30:90, 40:120] = 1
+    lab[100:150, 150:220] = 2
+
+    def _ds(images):
+        class _Seq:
+            name = "u8seq"
+            labels = ["00000.png"]
+
+            def __len__(self):
+                return len(images)
+
+            def __iter__(self):
+                for j, img in enumerate(images):
+                    yield type("F", (), {
+                        "name": f"{j:05d}.jpg", "image": img,
+                        "label": lab if j == 0 else None,
+                        "obj_num": 2, "obj_idx": None})()
+
+        class _DS:
+            def __len__(self):
+                return 1
+
+            def sequence(self, idx):
+                return _Seq()
+
+        return _DS()
+
+    import jax
+    from rmem_tpu.models import build_vos_model, init_params
+
+    cfg0 = get_config("test", model="tiny_deaotl", test_dataset="test")
+    model = build_vos_model(cfg0.model_vos, cfg0)
+    params = init_params(model, jax.random.PRNGKey(5))
+
+    originals = _frames()
+    # what the device should reconstruct, computed on host with cv2
+    decoded = [cv2.cvtColor(rgb_to_yuv420(f), cv2.COLOR_YUV2RGB_I420)
+               for f in originals]
+
+    outs = {}
+    for yuv in (False, True):
+        cfg = get_config("test", model="tiny_deaotl", test_dataset="test",
+                         eval_device_prep=True, eval_yuv420_upload=yuv,
+                         eval_scan_chunk=2)
+        out = str(tmp_path / f"yuv{yuv}")
+        ev = Evaluator(cfg, params=params, output_root=out,
+                       log=lambda *a: None)
+        # YUV path sees the originals; RGB path sees the host-decoded
+        # frames the device decode should reproduce
+        ev.dataset = _ds(originals if yuv else decoded)
+        ev.evaluate()
+        masks = []
+        for root, _, files in os.walk(out):
+            for f in sorted(files):
+                masks.append(np.asarray(Image.open(os.path.join(root, f))))
+        assert len(masks) == 4
+        outs[yuv] = (masks, ev.h2d_bytes)
+    # byte counter: I420 uploads exactly half the RGB payload
+    assert outs[True][1] * 2 == outs[False][1]
+    # the strong check is tensor-level: the device prep of the I420 pack
+    # equals the device prep of the host-decoded RGB within ~1 LSB of
+    # pre-normalization pixel value (random-weight argmax on noise frames
+    # amplifies any input LSB into tie flips, so masks get a smoke bound)
+    import jax.numpy as jnp
+
+    from rmem_tpu.engine.inference import InferenceEngine
+
+    eng = InferenceEngine(model, params, cfg0, donate=False)
+    yuv_stack = jnp.asarray(np.stack([rgb_to_yuv420(f) for f in originals]))
+    rgb_stack = jnp.asarray(np.stack(decoded))
+    a = np.asarray(eng._prep_impl(yuv_stack, (97, 161), False))
+    b = np.asarray(eng._prep_impl(rgb_stack, (97, 161), False))
+    assert np.abs(a - b).max() < 1.5 / 57.0  # 1.5 pixel LSB / min(std*255)
+    for a, b in zip(outs[False][0], outs[True][0]):
+        assert (a == b).mean() > 0.95

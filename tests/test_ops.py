@@ -277,3 +277,26 @@ def test_patch_wise_id_bank_label_path(ignore_token):
     out = mine.apply({"params": params}, lbl)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_yuv420_roundtrip_matches_cv2():
+    """Device-side I420 decode (ops/color.py) matches cv2.COLOR_YUV2RGB_I420
+    within 1 LSB, so host-pack(cv2) + device-unpack is a controlled pair;
+    the vs-original error is the inherent chroma-subsampling loss."""
+    import cv2
+    from rmem_tpu.ops.color import rgb_to_yuv420, yuv420_to_rgb
+
+    rng = np.random.RandomState(0)
+    for shape in ((240, 432), (96, 160)):
+        small = rng.randint(0, 255, (shape[0] // 8, shape[1] // 8, 3),
+                            np.uint8)
+        img = cv2.resize(small, (shape[1], shape[0]),
+                         interpolation=cv2.INTER_CUBIC)
+        yuv = rgb_to_yuv420(img)
+        assert yuv.shape == (shape[0] * 3 // 2, shape[1])
+        assert yuv.nbytes * 2 == img.nbytes * 1  # 1.5 B/px vs 3 B/px
+        ours = np.asarray(yuv420_to_rgb(jnp.asarray(yuv[None]))[0])
+        ref = cv2.cvtColor(yuv, cv2.COLOR_YUV2RGB_I420).astype(np.float32)
+        assert np.abs(ours - ref).max() <= 1.0
+        # smooth content reconstructs closely (lossy but bounded)
+        assert np.abs(ours - img.astype(np.float32)).mean() < 10.0
