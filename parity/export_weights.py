@@ -28,6 +28,11 @@ def main() -> None:
     ap.add_argument("--stage", default="pre_vost")
     ap.add_argument("--out", default="/tmp/parity/ref_weights.pth")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--fg_bias", action="store_true",
+                    help="nudge the decoder conv_out bias (bg -2.5, "
+                         "obj1/obj2 +1.0) so a random-init model carries "
+                         "foreground through the closed loop — needed for "
+                         "non-vacuous multi-aug parity (PARITY_RUN.md r3)")
     args = ap.parse_args()
 
     from tools.get_config import get_config  # reference config system
@@ -50,6 +55,18 @@ def main() -> None:
             v.copy_(torch.from_numpy(
                 (0.5 + rng.rand(*v.shape)).astype(np.float32)))
             n_bn += 1
+
+    if args.fg_bias:
+        # find the decoder's final conv bias (11 logit channels)
+        cands = [k for k in sd if k.endswith("bias")
+                 and sd[k].ndim == 1 and sd[k].shape[0] == 11
+                 and "conv_out" in k]
+        assert len(cands) == 1, cands
+        b = sd[cands[0]]
+        b[0] -= 2.5
+        b[1] += 1.0
+        b[2] += 1.0
+        print(f"fg_bias applied to {cands[0]}")
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     torch.save({"state_dict": sd}, args.out)

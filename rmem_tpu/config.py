@@ -174,6 +174,14 @@ class Config:
     # effect together with use_pallas_local_attention=True (it rides the
     # same "all+dw" dispatch mode).
     use_pallas_dwconv: bool = False
+    # merge sibling GPM projections that read the same activation into one
+    # MXU dot with a trace-time kernel concat (linear_QV+linear_U per block;
+    # V1+U1 / V2+U2 in the gated self-attention): per-column matmul results
+    # are unchanged (exact-equality tested) and the activation is read from
+    # HBM once instead of 2-4x. Param tree is identical (DenseParams
+    # declares the same paths/shapes), so checkpoints and the converter are
+    # untouched (VERDICT r3 Next #3 "merge adjacent projections").
+    merged_projections: bool = False
     # frames per eval dispatch on unlabeled stretches: one lax.scan chunk
     # amortizes the per-dispatch host/tunnel latency across K frames
     # (ROUND_NOTES: ~120 ms RTT on the tunneled backend). The last partial

@@ -167,20 +167,32 @@ class Evaluator:
 
     def evaluate(self, max_seqs: Optional[int] = None,
                  max_frames: Optional[int] = None,
-                 shard_across_hosts: bool = True) -> Dict:
+                 shard_across_hosts: bool = True,
+                 claim_dir: Optional[str] = None) -> Dict:
         from rmem_tpu.data.eval_datasets import sequence_lengths
-        from rmem_tpu.parallel.eval_sharding import host_sequence_indices
+        from rmem_tpu.parallel.eval_sharding import (claim_next,
+                                                     host_sequence_indices,
+                                                     split_bulk_tail)
+        tail: List[int] = []
         if shard_across_hosts:
             lengths = (sequence_lengths(self.dataset)
                        if jax.process_count() > 1 else None)
-            indices = host_sequence_indices(len(self.dataset),
-                                            lengths=lengths)
+            if lengths is not None and claim_dir is not None:
+                # LPT bulk + dynamically-claimed tail: absorbs per-sequence
+                # SPEED variance that static frame-count balancing cannot
+                # see (the reference's work-queue behavior at run end,
+                # evaluator.py:276-295)
+                bulk, tail = split_bulk_tail(len(self.dataset), lengths,
+                                             jax.process_count())
+                indices = bulk[jax.process_index()]
+            else:
+                indices = host_sequence_indices(len(self.dataset),
+                                                lengths=lengths)
         else:
             indices = list(range(len(self.dataset)))
         results: List[SequenceResult] = []
-        for n_done, idx in enumerate(indices):
-            if max_seqs is not None and n_done >= max_seqs:
-                break
+
+        def run_one(idx: int) -> None:
             seq = self.dataset.sequence(idx)
             res = self._eval_sequence(seq, max_frames)
             results.append(res)
@@ -188,6 +200,17 @@ class Evaluator:
             total_time = sum(r.seconds for r in results)
             self.log(f"Seq {res.name} - FPS: {res.fps:.2f}. All-Frame FPS: "
                      f"{total_frames / max(total_time, 1e-9):.2f}")
+
+        for n_done, idx in enumerate(indices):
+            if max_seqs is not None and n_done >= max_seqs:
+                break
+            run_one(idx)
+        while tail and (max_seqs is None or len(results) < max_seqs):
+            idx = claim_next(claim_dir, tail,
+                             owner=f"host{jax.process_index()}")
+            if idx is None:
+                break
+            run_one(idx)
         self.writer.join()
         total_frames = sum(r.num_frames - 1 for r in results)
         total_time = sum(r.seconds for r in results)

@@ -28,6 +28,7 @@ class DeAOT(AOT):
                    droppath=cfg.train_lstt_droppath,
                    intermediate_norm=cfg.model_decoder_intermediate_lstt,
                    unrolled_dw=cfg.dwconv_unrolled,
+                   merged_proj=cfg.merged_projections,
                    dtype=self.dtype, name="lstt")
 
     def _decoder_indim(self) -> int:

@@ -32,6 +32,41 @@ from rmem_tpu.ops.layers import DWConv2d, drop_path, layer_norm, silu
 MAX_LOCAL_DIS = 7  # window 15 (transformer.py:1023)
 
 
+class DenseParams(nn.Module):
+    """nn.Dense-compatible parameter holder (same tree paths/shapes/init)
+    whose compute is done by the caller — used to merge sibling projections
+    that read the same activation into ONE dot (the kernels are concatenated
+    at trace time; XLA hoists the concat out of the frame scan since params
+    are loop-invariant). Per-output-column matmul results are identical to
+    separate Dense calls, so numerics are unchanged (exactness pinned by
+    tests/test_models.py::test_merged_projections_exact)."""
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_features, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+
+def merged_dense(x, mods, dtype=None):
+    """Apply several DenseParams sharing input `x` as one dot; returns the
+    per-module outputs (split back at their widths)."""
+    dt = dtype or x.dtype
+    k = jnp.concatenate([m.kernel for m in mods], axis=1).astype(dt)
+    b = jnp.concatenate([m.bias for m in mods]).astype(dt)
+    y = x.astype(dt) @ k + b
+    widths = [m.features for m in mods]
+    splits = []
+    off = 0
+    for w in widths[:-1]:
+        off += w
+        splits.append(off)
+    return jnp.split(y, splits, axis=-1)
+
+
 class GatedTail(nn.Module):
     """Gate + depthwise conv + projection shared by all gated attentions
     (attention.py:206-209)."""
@@ -70,26 +105,40 @@ class GatedSelfAttention(nn.Module):
     d_att: int         # 128
     dtype: object = None
     unrolled_dw: bool = True
+    merged_proj: bool = False
 
     def setup(self):
         dt = self.dtype
         self.linear_QK = nn.Dense(self.d_att * self.num_heads,
                                   name="linear_QK", dtype=dt)
         half = self.d_vu  # hidden*heads/2 with expand 2
-        self.linear_V1 = nn.Dense(half, name="linear_V1", dtype=dt)
-        self.linear_V2 = nn.Dense(half, name="linear_V2", dtype=dt)
-        self.linear_U1 = nn.Dense(half, name="linear_U1", dtype=dt)
-        self.linear_U2 = nn.Dense(half, name="linear_U2", dtype=dt)
+        if self.merged_proj:
+            din = self.d_vu // 2  # v1/v2 are halves of the 2*d input
+            self.linear_V1 = DenseParams(din, half, name="linear_V1")
+            self.linear_V2 = DenseParams(din, half, name="linear_V2")
+            self.linear_U1 = DenseParams(din, half, name="linear_U1")
+            self.linear_U2 = DenseParams(din, half, name="linear_U2")
+        else:
+            self.linear_V1 = nn.Dense(half, name="linear_V1", dtype=dt)
+            self.linear_V2 = nn.Dense(half, name="linear_V2", dtype=dt)
+            self.linear_U1 = nn.Dense(half, name="linear_U1", dtype=dt)
+            self.linear_U2 = nn.Dense(half, name="linear_U2", dtype=dt)
         self.tail = GatedTail(2 * self.d_vu, self.d_vu, name="tail",
                               dtype=dt, unrolled_dw=self.unrolled_dw)
 
     def __call__(self, x, size_2d, deterministic=True, use_pallas=False):
         qk = self.linear_QK(x)
         v1, v2 = jnp.split(x, 2, axis=-1)
-        v = silu(interleave_heads(self.linear_V1(v1), self.linear_V2(v2),
-                                  self.num_heads))
-        u = silu(interleave_heads(self.linear_U1(v1), self.linear_U2(v2),
-                                  self.num_heads))
+        if self.merged_proj:
+            va, ua = merged_dense(v1, (self.linear_V1, self.linear_U1),
+                                  self.dtype)
+            vb, ub = merged_dense(v2, (self.linear_V2, self.linear_U2),
+                                  self.dtype)
+        else:
+            va, vb = self.linear_V1(v1), self.linear_V2(v2)
+            ua, ub = self.linear_U1(v1), self.linear_U2(v2)
+        v = silu(interleave_heads(va, vb, self.num_heads))
+        u = silu(interleave_heads(ua, ub, self.num_heads))
         # (the flash bank kernel with a single slot was tried here and
         # measured 148.1 vs 149.4 FPS — the mass-epilogue overhead beats
         # XLA's fused MHA at this size; keep the einsum form)
@@ -111,6 +160,7 @@ class GPMBlock(nn.Module):
     expand_ratio: float = 2.0
     dtype: object = None
     unrolled_dw: bool = True
+    merged_proj: bool = False
 
     def setup(self):
         d = self.d_model
@@ -120,9 +170,16 @@ class GPMBlock(nn.Module):
         win2 = (2 * MAX_LOCAL_DIS + 1) ** 2
 
         self.norm1 = layer_norm("norm1")
-        self.linear_QV = nn.Dense(self.d_att * self.att_heads + self.expand_d,
-                                  name="linear_QV", dtype=dt)
-        self.linear_U = nn.Dense(self.expand_d, name="linear_U", dtype=dt)
+        if self.merged_proj:
+            self.linear_QV = DenseParams(
+                d, self.d_att * self.att_heads + self.expand_d,
+                name="linear_QV")
+            self.linear_U = DenseParams(d, self.expand_d, name="linear_U")
+        else:
+            self.linear_QV = nn.Dense(
+                self.d_att * self.att_heads + self.expand_d,
+                name="linear_QV", dtype=dt)
+            self.linear_U = nn.Dense(self.expand_d, name="linear_U", dtype=dt)
         if self.layer_idx == 0:
             self.linear_ID_V = nn.Dense(self.expand_d, name="linear_ID_V",
                                         dtype=dt)
@@ -146,7 +203,8 @@ class GPMBlock(nn.Module):
         self.self_attn = GatedSelfAttention(2 * d, self.self_heads,
                                             self.d_att, name="self_attn",
                                             dtype=dt,
-                                            unrolled_dw=self.unrolled_dw)
+                                            unrolled_dw=self.unrolled_dw,
+                                            merged_proj=self.merged_proj)
 
     def fuse_id_value(self, curr_id_v, id_emb):
         """(transformer.py:1238-1244): layer 0 embeds the id alone; deeper
@@ -168,10 +226,14 @@ class GPMBlock(nn.Module):
         (zero-copy read of the engine state); true_lk gives the valid
         token count of pre-padded slots."""
         _tgt = self.norm1(tgt)
-        qv = self.linear_QV(_tgt)
+        if self.merged_proj:
+            qv, curr_u = merged_dense(_tgt, (self.linear_QV, self.linear_U),
+                                      self.dtype)
+        else:
+            qv = self.linear_QV(_tgt)
+            curr_u = self.linear_U(_tgt)
         curr_q = curr_k = qv[..., : self.d_att * self.att_heads]
         curr_v = silu(qv[..., self.d_att * self.att_heads:])
-        curr_u = self.linear_U(_tgt)
 
         if tgt_id is None:  # layer 0 (transformer.py:1114-1123)
             curr_id_v = None
@@ -268,12 +330,14 @@ class GPM(nn.Module):
     final_norm: bool = True
     dtype: object = None
     unrolled_dw: bool = True
+    merged_proj: bool = False
 
     def setup(self):
         self.blocks = [
             GPMBlock(self.d_model, self.self_heads, self.att_heads,
                      layer_idx=i, droppath=self.droppath, dtype=self.dtype,
-                     unrolled_dw=self.unrolled_dw, name=f"block{i}")
+                     unrolled_dw=self.unrolled_dw,
+                     merged_proj=self.merged_proj, name=f"block{i}")
             for i in range(self.num_layers)
         ]
         num_norms = (self.num_layers - 1 if self.intermediate_norm else 0)

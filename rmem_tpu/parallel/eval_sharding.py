@@ -50,6 +50,67 @@ def host_sequence_indices(num_sequences: int,
     return sorted(assign[pi])
 
 
+def split_bulk_tail(num_sequences: int, lengths: Sequence[int],
+                    process_count: int,
+                    tail_frac: float = 0.1) -> tuple[List[List[int]], List[int]]:
+    """Split sequences into an LPT-assigned bulk and a dynamically-claimed
+    tail (VERDICT r3 Next #7).
+
+    Static LPT balances *frame counts* but not per-sequence speed (object
+    count, resolution), so the slowest host can still gate the run. The
+    fix mirrors the reference's mp.Queue work stealing
+    (evaluator.py:276-295) for the END of the run only: the SHORTEST
+    sequences summing to ~`tail_frac` of total frames are held back and
+    claimed at runtime by whichever host finishes its bulk first; short
+    items keep the claim granularity (and thus the worst-case imbalance)
+    small.
+
+    Returns (bulk_assignments[host] -> indices, tail_indices). All hosts
+    compute the same split deterministically.
+    """
+    assert len(lengths) == num_sequences
+    total = sum(lengths)
+    budget = total * tail_frac
+    by_len = sorted(range(num_sequences), key=lambda i: (lengths[i], i))
+    tail: List[int] = []
+    acc = 0
+    for i in by_len:
+        if acc + lengths[i] > budget or process_count <= 1:
+            break
+        tail.append(i)
+        acc += lengths[i]
+    tail_set = set(tail)
+    bulk = [i for i in range(num_sequences) if i not in tail_set]
+    loads = [0] * process_count
+    assign: List[List[int]] = [[] for _ in range(process_count)]
+    order = sorted(bulk, key=lambda i: (-lengths[i], i))
+    for i in order:
+        h = min(range(process_count), key=lambda j: (loads[j], j))
+        loads[h] += lengths[i]
+        assign[h].append(i)
+    return [sorted(a) for a in assign], sorted(tail)
+
+
+def claim_next(claim_dir: str, candidates: Sequence[int],
+               owner: str = "") -> int | None:
+    """Atomically claim the next unclaimed index via O_CREAT|O_EXCL lock
+    files in a directory shared by all hosts (TPU pods mount a shared FS;
+    this replaces the reference's mp.Queue, which has no multi-host
+    equivalent). Returns the claimed index or None when all are taken."""
+    import os
+    os.makedirs(claim_dir, exist_ok=True)
+    for i in candidates:
+        path = os.path.join(claim_dir, f"seq_{i:06d}.claim")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(owner)
+        return i
+    return None
+
+
 def allreduce_stats(stats: Dict[str, float]) -> Dict[str, float]:
     """Sum scalar eval stats across hosts (evaluator.py:589-613 equivalent).
     On a single host this is the identity."""
