@@ -84,13 +84,25 @@ def _flops_per_frame(cfg, model, params, img0, mask, img) -> float | None:
 
 
 def main():
+    import argparse
+
     from rmem_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     from rmem_tpu.config import get_config
     from rmem_tpu.engine import InferenceEngine
     from rmem_tpu.models import build_vos_model, init_params
 
-    cfg = get_config("pre_vost", model="r50_deaotl")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--opt", nargs="*", default=[],
+                    help="config overrides KEY=VALUE for A/B runs "
+                         "(driver runs with no args = production config)")
+    args = ap.parse_args()
+    over = {}
+    for kv in args.opt:
+        k, v = kv.split("=", 1)
+        over[k] = eval(v)  # noqa: S307 - trusted local CLI
+
+    cfg = get_config("pre_vost", model="r50_deaotl", **over)
     model = build_vos_model(cfg.model_vos, cfg)
     params = init_params(model, jax.random.PRNGKey(0), HW)
     engine = InferenceEngine(model, params, cfg, donate=True)

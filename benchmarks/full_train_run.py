@@ -51,11 +51,56 @@ class _PoolLoader:
         pass
 
 
+def _blob_pool(n_batches, seq_len, hw, seed=0):
+    """Varied synthetic clips: smooth noise background + moving bright
+    blobs whose masks are the labels. The reference's TEST dataset
+    (constant zero images / ones labels, train_datasets.py:821-854) is
+    memorized within ~2k steps, flat-lining the loss curve this run is
+    meant to record; these clips keep the optimization problem non-trivial
+    for the full 20k-step schedule while remaining fully synthetic (no
+    dataset download on the egress-less rig)."""
+    import numpy as np
+
+    from rmem_tpu.data.transforms import normalize_image
+
+    h, w = hw
+    rng = np.random.RandomState(seed)
+    batches = []
+    for b in range(n_batches):
+        base = rng.rand(h // 8 + 2, w // 8 + 2, 3)
+        imgs = np.empty((seq_len, h, w, 3), np.float32)
+        labels = np.zeros((seq_len, h, w), np.int32)
+        n_obj = int(rng.randint(2, 4))
+        cy = rng.rand(n_obj) * h
+        cx = rng.rand(n_obj) * w
+        vy = rng.randn(n_obj) * 4
+        vx = rng.randn(n_obj) * 4
+        r = rng.randint(25, 60, size=n_obj)
+        yy, xx = np.mgrid[0:h, 0:w]
+        for t in range(seq_len):
+            import cv2
+            fr = cv2.resize((base * 255).astype(np.uint8), (w, h),
+                            interpolation=cv2.INTER_LINEAR)
+            lab = np.zeros((h, w), np.int32)
+            for i in range(n_obj):
+                py = (cy[i] + vy[i] * t) % h
+                px = (cx[i] + vx[i] * t) % w
+                m = ((yy - py) ** 2 + (xx - px) ** 2) < r[i] ** 2
+                fr[m] = (40 * (i + 1), 255 - 60 * i, 128)
+                lab[m] = i + 1
+            imgs[t] = normalize_image(fr)
+            labels[t] = lab
+        batches.append({"imgs": imgs[None], "labels": labels[None],
+                        "obj_nums": np.asarray([n_obj], np.int32)})
+    return batches
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--dir", default="/root/fullrun")
-    ap.add_argument("--pool", type=int, default=8)
+    ap.add_argument("--pool", type=int, default=16)
+    ap.add_argument("--data", choices=("blobs", "test"), default="blobs")
     ap.add_argument("--model", default="r50_deaotl")
     ap.add_argument("--hw", type=int, nargs=2, default=(465, 465))
     ap.add_argument("--seq_len", type=int, default=17)
@@ -90,9 +135,12 @@ def main():
         f"hw={args.hw} seq={args.seq_len} pid={os.getpid()} ===")
     tr = Trainer(cfg, log=log)
 
-    # build the device-resident pool from the real synthetic loader, then
-    # swap it in (uploaded once; ~44 MB per batch at 465x465 seq-17)
-    host_batches = [next(tr.loader) for _ in range(args.pool)]
+    # build the device-resident pool, then swap it in (uploaded once;
+    # ~44 MB per batch at 465x465 seq-17)
+    if args.data == "blobs":
+        host_batches = _blob_pool(args.pool, args.seq_len, tuple(args.hw))
+    else:
+        host_batches = [next(tr.loader) for _ in range(args.pool)]
     tr.loader.close()
     pool = [shard_batch(b, tr.mesh) for b in host_batches]
     import jax

@@ -177,10 +177,14 @@ class Config:
     # merge sibling GPM projections that read the same activation into one
     # MXU dot with a trace-time kernel concat (linear_QV+linear_U per block;
     # V1+U1 / V2+U2 in the gated self-attention): per-column matmul results
-    # are unchanged (exact-equality tested) and the activation is read from
-    # HBM once instead of 2-4x. Param tree is identical (DenseParams
-    # declares the same paths/shapes), so checkpoints and the converter are
-    # untouched (VERDICT r3 Next #3 "merge adjacent projections").
+    # are unchanged (exact-equality tested) and the param tree is identical
+    # (DenseParams declares the same paths/shapes), so checkpoints and the
+    # converter are untouched (VERDICT r3 Next #3 "merge adjacent
+    # projections"). Default OFF: measured SLOWER on the 480p bench —
+    # 175.4/176.0 FPS merged vs 181.4/183.1 separate (two A/B pairs,
+    # back-to-back) — XLA's per-dot fusion beats the halved activation
+    # reads at these shapes. Kept for wider-model configs where the
+    # arithmetic-intensity argument may win.
     merged_projections: bool = False
     # frames per eval dispatch on unlabeled stretches: one lax.scan chunk
     # amortizes the per-dispatch host/tunnel latency across K frames

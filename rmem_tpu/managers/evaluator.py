@@ -168,7 +168,8 @@ class Evaluator:
     def evaluate(self, max_seqs: Optional[int] = None,
                  max_frames: Optional[int] = None,
                  shard_across_hosts: bool = True,
-                 claim_dir: Optional[str] = None) -> Dict:
+                 claim_dir: Optional[str] = None,
+                 tail_frac: float = 0.1) -> Dict:
         from rmem_tpu.data.eval_datasets import sequence_lengths
         from rmem_tpu.parallel.eval_sharding import (claim_next,
                                                      host_sequence_indices,
@@ -183,7 +184,8 @@ class Evaluator:
                 # see (the reference's work-queue behavior at run end,
                 # evaluator.py:276-295)
                 bulk, tail = split_bulk_tail(len(self.dataset), lengths,
-                                             jax.process_count())
+                                             jax.process_count(),
+                                             tail_frac=tail_frac)
                 indices = bulk[jax.process_index()]
             else:
                 indices = host_sequence_indices(len(self.dataset),

@@ -29,8 +29,9 @@ from rmem_tpu.engine.train_state import (TrainState, make_optimizer,
 from rmem_tpu.models import build_vos_model, init_params
 from rmem_tpu.parallel import (make_mesh, make_parallel_train_step,
                                shard_batch)
-from rmem_tpu.utils.checkpoint import (latest_checkpoint, load_pretrained,
-                                       load_pytree, save_checkpoint)
+from rmem_tpu.utils.checkpoint import (load_latest_checkpoint,
+                                       load_pretrained, load_pytree,
+                                       save_checkpoint)
 
 
 class Trainer:
@@ -65,10 +66,10 @@ class Trainer:
         self.ema_dir = os.path.join(cfg.dir_result, "ema_ckpt")
 
         if cfg.train_auto_resume:
-            found = latest_checkpoint(self.ckpt_dir)
+            found = load_latest_checkpoint(self.state, self.ckpt_dir,
+                                           log=self.log)
             if found:
-                path, step = found
-                self.state = load_pytree(self.state, path)
+                self.state, step, path = found
                 self.log(f"auto-resumed from {path} (step {step})")
 
         dataset = build_train_dataset(cfg, data_root)

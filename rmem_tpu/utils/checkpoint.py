@@ -28,9 +28,17 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 def save_pytree(tree, path: str):
+    """Atomic write (temp + rename): a SIGKILL mid-save must never leave a
+    truncated file at the final name — the 20k-step kill/resume exercise
+    (VERDICT r3 Next #2) found exactly that: a 0-byte save_step_10000 from
+    a kill 30 s after the save started, which auto-resume then tried to
+    load. The reference has the same hazard (torch.save straight to the
+    final path, utils/checkpoint.py:112-118); rename-into-place fixes it."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(flax.serialization.to_bytes(tree))
+    os.replace(tmp, path)
 
 
 def load_pytree(template, path: str):
@@ -75,6 +83,30 @@ def latest_checkpoint(ckpt_dir: str, prefix: str = "save_step_"
     steps = [int(re.findall(r"\d+", f)[-1]) for f in ckpts]
     i = int(np.argmax(steps))
     return os.path.join(ckpt_dir, ckpts[i]), steps[i]
+
+
+def load_latest_checkpoint(template, ckpt_dir: str,
+                           prefix: str = "save_step_", log=print):
+    """Auto-resume with corrupt-file fallback: try checkpoints newest to
+    oldest, skipping any that fail to deserialize. Atomic saves make a
+    truncated latest unlikely, but pre-fix files (or torn storage) must
+    degrade to the previous save, not crash the trainer.
+
+    Returns (state, step, path) or None."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    ckpts = [f for f in os.listdir(ckpt_dir)
+             if f.startswith(prefix) and f.endswith(".msgpack")]
+    for f in sorted(ckpts, key=lambda f: -int(re.findall(r"\d+", f)[-1])):
+        path = os.path.join(ckpt_dir, f)
+        try:
+            state = load_pytree(template, path)
+        except Exception as e:  # truncated/corrupt: fall back
+            log(f"checkpoint {path} unreadable ({type(e).__name__}: {e}); "
+                f"falling back to the previous save")
+            continue
+        return state, int(re.findall(r"\d+", f)[-1]), path
+    return None
 
 
 # ---------------------------------------------------------------------------

@@ -1,7 +1,10 @@
 """Worker for test_multihost_eval: one of two jax.distributed CPU processes
 running the real Evaluator with length-aware host sharding + allreduce_stats.
 
-Usage: python _multihost_eval_worker.py PORT PID OUTDIR
+Usage: python _multihost_eval_worker.py PORT PID OUTDIR [claim]
+
+With the optional `claim` arg, runs the dynamic-tail mode: LPT bulk +
+shared-FS claim directory (eval_sharding.split_bulk_tail/claim_next).
 """
 
 import json
@@ -11,6 +14,7 @@ import sys
 
 def main():
     port, pid, outdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    claim_mode = len(sys.argv) > 4 and sys.argv[4] == "claim"
     os.environ["XLA_FLAGS"] = (
         "--xla_force_host_platform_device_count=1"
         " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
@@ -40,7 +44,14 @@ def main():
                    log=lambda *a: None)
     lengths = sequence_lengths(ev.dataset)
     indices = host_sequence_indices(len(ev.dataset), lengths=lengths)
-    stats = ev.evaluate(max_frames=4)
+    if claim_mode:
+        # tail_frac 0.4: with 3 equal-length sequences the shortest one is
+        # held back for runtime claiming; bulk LPT spreads the other two
+        stats = ev.evaluate(max_frames=4,
+                            claim_dir=os.path.join(outdir, "claims"),
+                            tail_frac=0.4)
+    else:
+        stats = ev.evaluate(max_frames=4)
 
     with open(os.path.join(outdir, f"p{pid}.json"), "w") as f:
         json.dump({

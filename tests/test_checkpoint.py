@@ -3,6 +3,7 @@ state_dict (names/shapes follow the reference module definitions) and check
 every init param is matched by the converter — catching any naming or
 transpose drift between our modules and the mapping."""
 
+import os
 import numpy as np
 import jax
 import pytest
@@ -567,3 +568,48 @@ def test_converter_gru_memory_coverage_and_values():
                                th, atol=2e-5)
     np.testing.assert_allclose(np.transpose(np.asarray(jout), (0, 3, 1, 2)),
                                tout, atol=2e-5)
+
+
+def test_save_pytree_atomic_no_partial_file(tmp_path):
+    """save_pytree writes via temp+rename, so the final name either has the
+    complete bytes or does not exist; the .tmp never matches the resume
+    scanner's *.msgpack filter."""
+    from rmem_tpu.utils.checkpoint import save_pytree
+    tree = {"a": np.arange(1000, dtype=np.float32)}
+    path = str(tmp_path / "d" / "save_step_100.msgpack")
+    save_pytree(tree, path)
+    import os
+    assert os.path.exists(path)
+    assert not os.path.exists(path + ".tmp")
+    got = load_pytree({"a": np.zeros(1000, np.float32)}, path)
+    np.testing.assert_array_equal(got["a"], tree["a"])
+
+
+def test_load_latest_checkpoint_skips_truncated(tmp_path):
+    """The 20k-step kill/resume exercise produced a 0-byte latest save
+    (SIGKILL mid-write, pre-atomic-rename); resume must fall back to the
+    previous complete checkpoint instead of crashing."""
+    from rmem_tpu.utils.checkpoint import load_latest_checkpoint, save_pytree
+    d = str(tmp_path / "ckpt")
+    t500 = {"a": np.full(10, 5.0, np.float32)}
+    t1000 = {"a": np.full(10, 7.0, np.float32)}
+    save_pytree(t500, os.path.join(d, "save_step_500.msgpack"))
+    save_pytree(t1000, os.path.join(d, "save_step_1000.msgpack"))
+    # truncated latest (what the mid-write SIGKILL left behind)
+    with open(os.path.join(d, "save_step_1500.msgpack"), "wb"):
+        pass
+    logs = []
+    got = load_latest_checkpoint({"a": np.zeros(10, np.float32)}, d,
+                                 log=logs.append)
+    assert got is not None
+    state, step, path = got
+    assert step == 1000 and path.endswith("save_step_1000.msgpack")
+    np.testing.assert_array_equal(state["a"], t1000["a"])
+    assert any("unreadable" in s for s in logs)
+    # all corrupt -> None
+    with open(os.path.join(d, "save_step_500.msgpack"), "wb"):
+        pass
+    with open(os.path.join(d, "save_step_1000.msgpack"), "wb"):
+        pass
+    assert load_latest_checkpoint({"a": np.zeros(10, np.float32)}, d,
+                                  log=logs.append) is None

@@ -169,3 +169,26 @@ def test_engine_long_video_steady_state():
     assert times_max[-1] > 10
     assert np.all(np.isfinite(np.asarray(logits)))
     assert int(state.frame_step) == 60
+
+
+def test_step_epilogue_channel_first_exact():
+    """A channel-first upsample+argmax epilogue equals the channel-last
+    formulation bit-exactly (same lerp arithmetic, same argmax tie order).
+    The engine ships the channel-last form — channel-first measured 158 vs
+    182 FPS on the 480p bench — but the equivalence documents that the
+    layout is a free scheduling choice, not a numerics one."""
+    from rmem_tpu.ops.resize import resize_bilinear
+
+    rng = np.random.RandomState(0)
+    # non-multiple output (interp path) and 4x+1 output (interleave path)
+    for out_hw in ((49, 49), (41, 37)):
+        logits4 = jnp.asarray(rng.randn(1, 13, 13, 11).astype(np.float32))
+        # quantize so exact ties exist and tie order is actually exercised
+        logits4 = jnp.round(logits4 * 4) / 4
+        ref = resize_bilinear(logits4, out_hw, True)
+        ref_label = jnp.argmax(ref[0], axis=-1).astype(jnp.int32)
+        lf = jnp.transpose(logits4, (0, 3, 1, 2))
+        lf = resize_bilinear(lf, out_hw, True, channel_last=False)
+        new_label = jnp.argmax(lf, axis=1).astype(jnp.int32)[0]
+        np.testing.assert_array_equal(np.asarray(ref_label),
+                                      np.asarray(new_label))

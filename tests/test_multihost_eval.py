@@ -19,7 +19,7 @@ def _free_port():
     return port
 
 
-def test_two_process_eval_shards_and_allreduces(tmp_path):
+def _run_pair(tmp_path, extra=()):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__),
                           "_multihost_eval_worker.py")
@@ -28,7 +28,7 @@ def test_two_process_eval_shards_and_allreduces(tmp_path):
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(port), str(pid), str(tmp_path)],
+        [sys.executable, worker, str(port), str(pid), str(tmp_path), *extra],
         env=env, cwd=repo_root,
         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for pid in range(2)]
@@ -40,6 +40,11 @@ def test_two_process_eval_shards_and_allreduces(tmp_path):
     for pid in range(2):
         with open(os.path.join(str(tmp_path), f"p{pid}.json")) as f:
             res.append(json.load(f))
+    return res
+
+
+def test_two_process_eval_shards_and_allreduces(tmp_path):
+    res = _run_pair(tmp_path)
 
     assert all(r["process_count"] == 2 for r in res)
     # LPT partition: disjoint, covering, non-empty on both hosts
@@ -65,3 +70,21 @@ def test_two_process_eval_shards_and_allreduces(tmp_path):
         for name in r["seq_names"]:
             d = os.path.join(str(tmp_path), f"masks_p{pid}", name)
             assert len(os.listdir(d)) == 4
+
+
+def test_two_process_eval_dynamic_tail_claims(tmp_path):
+    """Dynamic-tail mode under 2 real processes: LPT bulk + shared-FS claim
+    dir (VERDICT r3 Next #7). The tail sequence must be evaluated by exactly
+    ONE host, coverage stays complete, and the allreduced globals match."""
+    res = _run_pair(tmp_path, extra=("claim",))
+    names0, names1 = set(res[0]["seq_names"]), set(res[1]["seq_names"])
+    # disjoint and covering (3 sequences), neither host idle
+    assert not (names0 & names1)
+    assert len(names0 | names1) == 3
+    assert names0 and names1
+    # exactly one claim file exists (the one tail sequence, claimed once)
+    claims = os.listdir(os.path.join(str(tmp_path), "claims"))
+    assert len(claims) == 1, claims
+    for r in res:
+        assert r["stats"]["global_frames"] == 9.0
+        assert r["stats"]["global_seqs"] == 3.0
