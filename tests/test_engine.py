@@ -192,3 +192,31 @@ def test_step_epilogue_channel_first_exact():
         new_label = jnp.argmax(lf, axis=1).astype(jnp.int32)[0]
         np.testing.assert_array_equal(np.asarray(ref_label),
                                       np.asarray(new_label))
+
+
+def test_step_epilogue_phase_exact():
+    """The phase-decomposed upsample+argmax the engine ships for the
+    single-group step (ops/resize.upsample_argmax) equals the generic
+    resize->argmax chain bit-exactly: integral-ratio fast paths (incl. the
+    production 4x logit upsample shape), mixed integral/non-integral axes,
+    and the non-integral fallback. Inputs include exact ties and the
+    finite -1e10 channel masking mask_unused_ids emits."""
+    from rmem_tpu.ops.resize import resize_bilinear, upsample_argmax
+
+    rng = np.random.RandomState(0)
+    cases = [((13, 13, 11), (49, 49)),    # 4x/4x integral
+             ((121, 213, 12), (481, 849)),  # production logit shape
+             ((13, 13, 12), (13, 37)),    # H identity, W integral
+             ((13, 13, 12), (49, 13)),    # H integral, W identity
+             ((7, 9, 5), (7, 9)),         # full identity
+             ((13, 13, 11), (50, 40)),    # non-integral -> fallback
+             ((13, 13, 11), (25, 97))]    # 2x/8x integral
+    for (h, w, c), out_hw in cases:
+        x = np.round(rng.randn(1, h, w, c).astype(np.float32) * 4) / 4
+        x[..., -1] = -1e10  # mask_unused_ids-style disabled channel
+        xj = jnp.asarray(x)
+        ref = jnp.argmax(resize_bilinear(xj, out_hw, True)[0],
+                         axis=-1).astype(jnp.int32)
+        new = upsample_argmax(xj, out_hw, True)
+        assert new.shape == out_hw
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))

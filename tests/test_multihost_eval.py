@@ -19,22 +19,35 @@ def _free_port():
     return port
 
 
-def _run_pair(tmp_path, extra=()):
-    port = _free_port()
+def _run_pair(tmp_path, extra=(), attempts=3):
     worker = os.path.join(os.path.dirname(__file__),
                           "_multihost_eval_worker.py")
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(port), str(pid), str(tmp_path), *extra],
-        env=env, cwd=repo_root,
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-        for pid in range(2)]
-    outs = [p.communicate(timeout=1200) for p in procs]
-    for p, (so, se) in zip(procs, outs):
-        assert p.returncode == 0, se.decode()[-3000:]
+    for attempt in range(attempts):
+        port = _free_port()
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), str(tmp_path),
+             *extra],
+            env=env, cwd=repo_root,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+            for pid in range(2)]
+        outs = [p.communicate(timeout=1200) for p in procs]
+        # gloo's KV-store rendezvous has a fixed 30 s deadline inside jax;
+        # on a loaded 1-core host two cold-compiling processes can miss it.
+        # That is a machine-load flake, not an eval bug — retry it, but
+        # fail immediately on any other error.
+        errs = [se.decode()[-3000:] for _, se in outs]
+        if (attempt + 1 < attempts
+                and any(p.returncode != 0 for p in procs)
+                and all("DEADLINE_EXCEEDED" in e or p.returncode == 0
+                        for p, e in zip(procs, errs))):
+            continue
+        for p, e in zip(procs, errs):
+            assert p.returncode == 0, e
+        break
 
     res = []
     for pid in range(2):
