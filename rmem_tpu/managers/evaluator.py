@@ -171,9 +171,21 @@ class Evaluator:
                  claim_dir: Optional[str] = None,
                  tail_frac: float = 0.1) -> Dict:
         from rmem_tpu.data.eval_datasets import sequence_lengths
-        from rmem_tpu.parallel.eval_sharding import (claim_next,
+        from rmem_tpu.parallel.eval_sharding import (allreduce_stats,
+                                                     claim_next,
                                                      host_sequence_indices,
                                                      split_bulk_tail)
+        if jax.process_count() > 1:
+            # Establish the cross-host collective channel NOW, while hosts
+            # are still aligned: gloo builds its context lazily at the
+            # first collective with a fixed ~30 s handshake deadline, and
+            # the first real collective below runs AFTER the per-host
+            # sequence loops — whose durations skew hosts by minutes, so a
+            # lazily-created context would time out structurally (observed
+            # as DEADLINE_EXCEEDED in the 2-process integration test; the
+            # reference's mp.Queue feeder synchronizes at start the same
+            # way, tools/eval.py:137-143).
+            allreduce_stats({"warmup": 0.0})
         tail: List[int] = []
         if shard_across_hosts:
             lengths = (sequence_lengths(self.dataset)

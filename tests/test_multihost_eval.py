@@ -39,14 +39,14 @@ def _run_pair(tmp_path, extra=(), attempts=3):
         # on a loaded 1-core host two cold-compiling processes can miss it.
         # That is a machine-load flake, not an eval bug — retry it, but
         # fail immediately on any other error.
-        errs = [se.decode()[-3000:] for _, se in outs]
+        full_errs = [se.decode() for _, se in outs]
         if (attempt + 1 < attempts
                 and any(p.returncode != 0 for p in procs)
                 and all("DEADLINE_EXCEEDED" in e or p.returncode == 0
-                        for p, e in zip(procs, errs))):
+                        for p, e in zip(procs, full_errs))):
             continue
-        for p, e in zip(procs, errs):
-            assert p.returncode == 0, e
+        for p, e in zip(procs, full_errs):
+            assert p.returncode == 0, e[-3000:]
         break
 
     res = []
