@@ -42,6 +42,21 @@ def main():
     ev = Evaluator(cfg, params=params,
                    output_root=os.path.join(outdir, f"masks_p{pid}"),
                    log=lambda *a: None)
+    # File barrier: align both processes BEFORE the first collective.
+    # gloo's context handshake has a fixed ~30 s deadline, and on a loaded
+    # 1-core host the two workers' startup (imports + model build) can skew
+    # by more than that — evaluate()'s warmup allreduce then times out
+    # through no fault of the eval path. Test-scoped; production multi-host
+    # launches start in lockstep via the cluster scheduler.
+    import time
+    open(os.path.join(outdir, f"ready_{pid}"), "w").close()
+    other = os.path.join(outdir, f"ready_{1 - pid}")
+    deadline = time.time() + 900
+    while not os.path.exists(other):
+        if time.time() > deadline:
+            raise TimeoutError("peer worker never became ready")
+        time.sleep(0.25)
+
     lengths = sequence_lengths(ev.dataset)
     indices = host_sequence_indices(len(ev.dataset), lengths=lengths)
     if claim_mode:

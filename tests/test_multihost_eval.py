@@ -27,6 +27,11 @@ def _run_pair(tmp_path, extra=(), attempts=3):
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     for attempt in range(attempts):
+        for pid in range(2):  # stale barrier files would defeat the
+            try:              # worker's startup alignment on retries
+                os.remove(os.path.join(str(tmp_path), f"ready_{pid}"))
+            except FileNotFoundError:
+                pass
         port = _free_port()
         procs = [subprocess.Popen(
             [sys.executable, worker, str(port), str(pid), str(tmp_path),
