@@ -20,6 +20,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import ast
 import json
 import time
 
@@ -29,6 +30,13 @@ import numpy as np
 
 BASELINE_FPS = 27.42
 HW = (481, 849)
+# Production output shape: real eval emits masks at the video's ORIGINAL
+# resolution (480x854 for DAVIS 480p), which is almost never an integral
+# align-corners multiple of the logit grid — so this config exercises the
+# GENERAL upsample+argmax epilogue that tools/eval.py actually runs, while
+# HW-out (481x849, 4x-aligned) exercises the phase fast path. Both are
+# timed; `value` is the production-shaped number (VERDICT r4 Next #1b).
+PROD_HW = (480, 854)
 NUM_OBJECTS = 10
 CHUNK = 30
 # 12 chunks = 360 frames ~= 2 s of device time per timing pass. With the
@@ -105,7 +113,10 @@ def main():
     over = {}
     for kv in args.opt:
         k, v = kv.split("=", 1)
-        over[k] = eval(v)  # noqa: S307 - trusted local CLI
+        try:
+            over[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            over[k] = v  # bare strings stay strings
 
     cfg = get_config("pre_vost", model="r50_deaotl", **over)
     model = build_vos_model(cfg.model_vos, cfg)
@@ -127,17 +138,20 @@ def main():
     flops_frame = _flops_per_frame(cfg, model, params, img0,
                                    jnp.asarray(mask), chunk[0])
 
-    # warmup: compile + fill the bank to steady state; hard host sync
-    state, labels = engine.scan_steps(state, chunk, HW)
-    _ = np.asarray(labels[-1])
+    def timed_pass(state, out_hw):
+        # warmup: compile + fill the bank to steady state; hard host sync
+        state, labels = engine.scan_steps(state, chunk, out_hw)
+        _ = np.asarray(labels[-1])
+        t0 = time.perf_counter()
+        for _ in range(N_CHUNKS):
+            state, labels = engine.scan_steps(state, chunk, out_hw)
+        _ = np.asarray(labels[-1])  # device_get forces full synchronization
+        dt = time.perf_counter() - t0
+        return state, (CHUNK * N_CHUNKS) / dt
 
-    t0 = time.perf_counter()
-    for _ in range(N_CHUNKS):
-        state, labels = engine.scan_steps(state, chunk, HW)
-    _ = np.asarray(labels[-1])  # device_get forces full synchronization
-    dt = time.perf_counter() - t0
+    state, fps = timed_pass(state, PROD_HW)       # what real eval runs
+    state, fps_aligned = timed_pass(state, HW)    # 4x-aligned fast path
 
-    fps = (CHUNK * N_CHUNKS) / dt
     peak = _chip_peak_flops()
     mfu = (round(flops_frame * fps / peak, 4)
            if flops_frame and peak else None)
@@ -148,6 +162,8 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "mfu": mfu,
         "flops_per_frame": flops_frame,
+        "out_hw": list(PROD_HW),
+        "fps_aligned_out": round(fps_aligned, 2),
     }))
 
 

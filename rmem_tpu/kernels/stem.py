@@ -1,0 +1,177 @@
+"""Pallas TPU kernel: fused ResNet stem (7x7/s2 conv + BN + relu + 3x3/s2
+maxpool) for 3-channel inputs.
+
+The reference delegates the stem to cuDNN (aot_plus/networks/encoders/
+resnet.py:83-90). On TPU the plain XLA conv runs its Cin=3 contraction at
+~3% effective MXU utilization and costs 0.36 ms/frame at 481x849 by graph
+ablation (~27% of the encoder) — the single clearest hardware mismatch left
+after r4. Both XLA-level rewrites measured as dead ends (space-to-depth
+147 vs 154 FPS; im2col 91 vs 183: stride-2 sublane slices lower to per-tap
+relayout copies), so this kernel does the patch assembly in VMEM where
+layout is free:
+
+* the image is transposed once to channel-major planes [3, H, W] and
+  column-deinterleaved (even/odd) in XLA, so the stride-2 column access
+  becomes contiguous-plus-lane-roll;
+* each grid step DMAs one 40-row window of both parities (double-buffered
+  across steps, as in kernels/local_attention.py) and assembles, per conv
+  row, a [168, We] patch matrix from 21 slice+roll ops — tap (dx, c, dy)
+  lives at sublane dx*24 + c*8 + dy, with the dy=7 pad row carrying real
+  data but a zero weight;
+* ONE MXU contraction per conv row ([We, 168] x [168, 64]) replaces the
+  Cin=3 conv: K=168 fills the systolic array;
+* BN affine + relu + the 3x3/s2 maxpool fuse in VMEM: the column max is
+  two lane rolls, the row max spans the per-row scratch slabs, and the
+  final stride-2 column selection is an exact 0/1 matmul on bf16 values
+  (one nonzero per row, so f32 accumulation reproduces the value bit-for-
+  bit), emitting pooled NHWC-ready [rows, cols, 64] blocks directly.
+
+Pool-edge semantics: torch MaxPool2d(3, 2, padding=1) excludes padding from
+the max; post-relu all values are >= 0, so zeroing out-of-range conv
+rows/cols makes them max-neutral — EXCEPT that a conv row computed from
+zero padding is relu(bias) != 0, which is why out-of-grid conv rows/cols
+are masked to zero explicitly before pooling.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(xe_ref, xo_ref, w2_ref, ab_ref, sel_ref, out_ref,
+            win, pbuf, mbuf, sems, *, nb: int, we: int, wo: int, ho: int,
+            pwp: int):
+    b = pl.program_id(0)
+    slot = jax.lax.rem(b, 2)
+
+    def issue(b_, sl):
+        ce = pltpu.make_async_copy(
+            xe_ref.at[:, pl.ds(32 * b_, 40), :], win.at[sl, 0],
+            sems.at[0, sl])
+        co = pltpu.make_async_copy(
+            xo_ref.at[:, pl.ds(32 * b_, 40), :], win.at[sl, 1],
+            sems.at[1, sl])
+        return ce, co
+
+    @pl.when(b == 0)
+    def _warmup():
+        ce, co = issue(b, slot)
+        ce.start()
+        co.start()
+
+    @pl.when(b + 1 < nb)
+    def _prefetch():
+        ce, co = issue(b + 1, jax.lax.rem(b + 1, 2))
+        ce.start()
+        co.start()
+
+    ce, co = issue(b, slot)  # same descriptors, for the waits
+    ce.wait()
+    co.wait()
+
+    w2 = w2_ref[:]                              # [168, 64] bf16
+    sc = ab_ref[0:1, :]                         # [1, 64] bf16 (BN scale)
+    bi = ab_ref[1:2, :]                         # [1, 64] bf16 (BN bias)
+    colmask = jax.lax.broadcasted_iota(jnp.int32, (we, 64), 0) < wo
+
+    for r in range(17):                         # conv rows 16b-1 .. 16b+15
+        cr = 16 * b - 1 + r
+        for dx in range(7):
+            par, off = dx % 2, dx // 2
+            for c in range(3):
+                rows = win[slot, par, c, 2 * r:2 * r + 8, :]   # [8, we]
+                row0 = dx * 24 + c * 8
+                if off:
+                    rows = pltpu.roll(rows, -off, axis=1)
+                pbuf[row0:row0 + 8, :] = rows
+        cm = jax.lax.dot_general(                      # [we, 64] f32
+            pbuf[:], w2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # match the XLA stem's dtype chain exactly: conv emits bf16, BN
+        # affine and relu run in bf16 (FoldedBN casts params to x.dtype)
+        a = jnp.maximum(cm.astype(jnp.bfloat16) * sc + bi, 0)
+        valid = jnp.logical_and(cr >= 0, cr <= ho - 1)
+        a = jnp.where(jnp.logical_and(colmask, valid), a,
+                      jnp.bfloat16(0))
+        m = jnp.maximum(jnp.maximum(a, pltpu.roll(a, 1, axis=0)),
+                        pltpu.roll(a, -1, axis=0))
+        mbuf[r] = m                                    # [17, we, 64] bf16
+
+    sel = sel_ref[:]                                   # [pwp, we] bf16
+    for p in range(8):
+        o = jnp.maximum(jnp.maximum(mbuf[2 * p], mbuf[2 * p + 1]),
+                        mbuf[2 * p + 2])
+        comp = jax.lax.dot_general(                    # exact 0/1 selection
+            sel, o, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[0, p] = comp.astype(out_ref.dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _sel_np(pwp: int, we: int) -> np.ndarray:
+    s = np.zeros((pwp, we), np.float32)
+    j = np.arange(pwp)
+    keep = 2 * j < we
+    s[j[keep], 2 * j[keep]] = 1.0
+    return s
+
+
+def pallas_stem(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
+                bias: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """maxpool3x3s2(relu(conv7x7s2(x) * scale + bias)) for x [1, H, W, 3].
+
+    kernel: [7, 7, 3, 64] (the unchanged `conv1/kernel` param); scale/bias:
+    [64] FoldedBN affine. Returns [1, ph, pw, 64] bf16 where ph/pw are the
+    pooled dims ((H-1)//2//2 + 1 style, matching torch). bf16 compute path
+    only (the f32 parity path keeps the plain conv)."""
+    B, H, W, C = x.shape
+    assert B == 1 and C == 3, (B, C)
+    dt = jnp.bfloat16
+    ho, wo = (H - 1) // 2 + 1, (W - 1) // 2 + 1
+    ph, pw = (ho - 1) // 2 + 1, (wo - 1) // 2 + 1
+    nb = -(-ph // 8)
+    hp = 32 * (nb - 1) + 40
+    wp = -(-(W + 7) // 256) * 256       # even; each parity is a 128-mult
+    we = wp // 2
+    pwp = -(-pw // 8) * 8
+
+    xT = jnp.transpose(x[0].astype(dt), (2, 0, 1))      # [3, H, W]
+    xp = jnp.pad(xT, ((0, 0), (5, hp - 5 - H), (3, wp - 3 - W)))
+    xe, xo = xp[:, :, 0::2], xp[:, :, 1::2]             # [3, hp, we]
+
+    # K-dim order (dx, c, dy) with dy padded 7->8 (zero weight, real data)
+    w2 = jnp.pad(kernel.astype(dt).transpose(1, 2, 0, 3),
+                 ((0, 0), (0, 0), (0, 1), (0, 0))).reshape(168, 64)
+    ab = jnp.stack([scale.astype(dt), bias.astype(dt)])  # [2, 64]
+    sel = jnp.asarray(_sel_np(pwp, we), dt)
+
+    kern = functools.partial(_kernel, nb=nb, we=we, wo=wo, ho=ho, pwp=pwp)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # xe (HBM, DMA'd)
+            pl.BlockSpec(memory_space=pltpu.ANY),       # xo
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # ab
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # sel
+        ],
+        out_specs=pl.BlockSpec((1, 8, pwp, 64), lambda b: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, pwp, 64), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 3, 40, we), dt),          # windows (dbl-buf)
+            pltpu.VMEM((168, we), dt),                  # patch matrix
+            pltpu.VMEM((17, we, 64), dt),               # col-pooled rows
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(xe, xo, w2, ab, sel)
+
+    out = out.reshape(nb * 8, pwp, 64)[:ph, :pw]
+    return out[None]

@@ -130,38 +130,117 @@ def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = True,
         return y.astype(x.dtype)
 
 
+@functools.lru_cache(maxsize=256)
+def _exact_lerp_coords_np(n_out: int, n_in: int, align_corners: bool):
+    """(lo, hi, wa, wb) per output position — the lerp is a*wa + b*wb —
+    with weights rounded EXACTLY as the branch `_lerp_axis` would take for
+    this (n_out, n_in) produces them: integral align-corners upsampling uses
+    the interleave path's python-double `1 - s/r` and `s/r` cast to f32
+    (which can differ in the last f32 ulp from an f32-arithmetic `1 - w`);
+    integral downsampling is the zero-weight strided subsample; the generic
+    branch mirrors the device-side f32 `1.0 - w` subtraction on
+    `_lerp_idx_np`'s weights."""
+    if align_corners and n_in > 1 and n_out > 1:
+        if (n_out - 1) % (n_in - 1) == 0:
+            r = (n_out - 1) // (n_in - 1)
+            i = np.arange(n_out, dtype=np.int64)
+            lo = i // r
+            hi = np.minimum(lo + 1, n_in - 1)
+            wa = np.array([1.0 - (i_ % r) / r for i_ in i], dtype=np.float32)
+            wb = np.array([(i_ % r) / r for i_ in i], dtype=np.float32)
+            return lo, hi, wa, wb
+        if (n_in - 1) % (n_out - 1) == 0:
+            r = (n_in - 1) // (n_out - 1)
+            i = np.arange(n_out, dtype=np.int64) * r
+            return (i, i, np.ones(n_out, np.float32),
+                    np.zeros(n_out, np.float32))
+    lo, hi, w = _lerp_idx_np(n_out, n_in, align_corners)
+    return lo, hi, np.float32(1.0) - w, w
+
+
+def _upsample_argmax_rowblock(L: jnp.ndarray, out_hw, align_corners: bool,
+                              block: int = 48) -> jnp.ndarray:
+    """General-size streamed epilogue: H-lerp + W-lerp + argmax computed per
+    block of output rows under lax.map, so the [H, W, c] float tensor is
+    never live at once — only [block, W, c] per step. Bit-identical to the
+    generic chain by construction: the H gather/lerp uses the exact branch
+    weights `_lerp_axis` would (see _exact_lerp_coords_np) and the W axis IS
+    `_lerp_axis` (row-independent, so per-block application is the identical
+    computation)."""
+    H, W = out_hw
+    h, w, c = L.shape
+    lo, hi, wa, wb = _exact_lerp_coords_np(H, h, align_corners)
+    nb = -(-H // block)
+    pad = nb * block - H
+    if pad:  # replicate the last row's coords; extra rows sliced off below
+        lo = np.concatenate([lo, np.full(pad, lo[-1])])
+        hi = np.concatenate([hi, np.full(pad, hi[-1])])
+        wa = np.concatenate([wa, np.full(pad, wa[-1], np.float32)])
+        wb = np.concatenate([wb, np.full(pad, wb[-1], np.float32)])
+    lo_t = jnp.asarray(lo.reshape(nb, block))
+    hi_t = jnp.asarray(hi.reshape(nb, block))
+    wa_t = jnp.asarray(wa.reshape(nb, block, 1, 1))
+    wb_t = jnp.asarray(wb.reshape(nb, block, 1, 1))
+
+    def fn(args):
+        lo_b, hi_b, wa_b, wb_b = args
+        a = jnp.take(L, lo_b, axis=0)          # major-axis row gather
+        b = jnp.take(L, hi_b, axis=0)
+        A = a * wa_b + b * wb_b                # [block, w, c]
+        B = _lerp_axis(A, W, 1, align_corners)  # [block, W, c]
+        return jnp.argmax(B, axis=-1).astype(jnp.int32)
+
+    labs = jax.lax.map(fn, (lo_t, hi_t, wa_t, wb_t))  # [nb, block, W]
+    return labs.reshape(nb * block, W)[:H]
+
+
 def upsample_argmax(x: jnp.ndarray, out_hw, align_corners: bool = True
                     ) -> jnp.ndarray:
     """`argmax_c(resize_bilinear(x, out_hw)[0])` for x [1, h, w, c],
     bit-identical to the generic chain, as int32 [H, W].
 
-    Fast path (integral align-corners upsampling on both axes — guaranteed
-    for the 4x logit upsample by the reference's stride-16+1 size snapping,
-    aot_plus/dataloaders/video_transforms.py:605-621): the lerp factors into
-    ry*rx constant-weight phases computed channel-MAJOR on the small [h, w]
-    grid, with argmax as an unrolled compare chain over c planes. The big
-    [H, W, c] float tensor is never materialized and no minor-dim-c reduce
-    is emitted; the only relayouts are the tiny [h, w, c] transpose in and
-    the int32 phase interleave out. (A plain channel-first full-res resize
-    was measured SLOWER than channel-last — 158 vs 182 FPS — which is why
-    the decomposition happens at phase level, before upsampling.)
+    Two fast formulations, neither materializing the [H, W, c] float tensor:
 
-    Exactness: phase weights are the same python-float constants the
-    interleave path in `_lerp_axis` uses, applied in the same a*(1-w)+b*w
-    expression and the same H-then-W order, so interpolated values are
-    bitwise identical; the compare chain uses strict `>`, matching
-    jnp.argmax's lowest-index tie rule. Equality holds for all-FINITE
-    inputs (guaranteed in-engine: unused ids are masked to -1e10, not -inf
-    — ops/masks.py:86-93); with inf/NaN inputs jnp.argmax prefers NaN
-    lanes while the compare chain skips them."""
+    * PHASE path — integral align-corners upsampling on both axes (e.g. the
+      4x logit upsample to the stride-snapped eval size,
+      aot_plus/dataloaders/video_transforms.py:605-621): the lerp factors
+      into ry*rx constant-weight phases on the small [h, w] grid; each phase
+      takes a small jnp.argmax over its [h, w, c] plane and only the int32
+      labels are interleaved to full resolution. Phase weights are the same
+      python-float `s / r` constants `_lerp_axis`'s interleave path uses, in
+      the same a*(1-w)+b*w expression and H-then-W order, so values are
+      bitwise identical to the generic chain.
+    Non-aligned outputs (production eval emits masks at the video's
+    ORIGINAL resolution, which is almost never grid-aligned) take the
+    generic resize->argmax chain: a streamed row-block formulation
+    (_upsample_argmax_rowblock, opt-in via RMEM_ROWBLOCK_EPILOGUE=1) was
+    built and measured FLAT on the 480p bench (204.19 vs 204.68 FPS at
+    480x854 output, r5) — XLA already schedules the generic chain without
+    materializing-bound stalls — and under the test env's XLA:CPU flags its
+    different fusion context flips FMA contraction, diverging from the
+    generic chain in the last ulp at exact ties. Kept as the documented
+    dead end, not the default.
+
+    `RMEM_PHASE_EPILOGUE=0` disables the phase fast path (generic
+    resize+argmax chain everywhere). NOTE: both flags are read at TRACE
+    time — toggling after a shape has compiled has no effect on that cached
+    executable within the process; set them before the first engine call."""
     import os as _os
     H, W = out_hw
     b, h, w, c = x.shape
+    if b != 1:
+        # the fused single-group epilogue contract is batch-1; a silent
+        # [0]-slice here would drop batch elements (ADVICE r4)
+        raise ValueError(f"upsample_argmax expects batch 1, got {b}")
     ry = (H - 1) // (h - 1) if h > 1 and (H - 1) % (h - 1) == 0 else 0
     rx = (W - 1) // (w - 1) if w > 1 and (W - 1) % (w - 1) == 0 else 0
-    if _os.environ.get("RMEM_PHASE_EPILOGUE", "1") == "0" or not (
-            align_corners and b == 1 and ry >= 1 and rx >= 1
-            and (ry > 1 or rx > 1)):
+    if _os.environ.get("RMEM_PHASE_EPILOGUE", "1") == "0":
+        y = resize_bilinear(x, out_hw, align_corners)
+        return jnp.argmax(y[0], axis=-1).astype(jnp.int32)
+    if not (align_corners and ry >= 1 and rx >= 1 and (ry > 1 or rx > 1)):
+        if _os.environ.get("RMEM_ROWBLOCK_EPILOGUE", "0") == "1":
+            return _upsample_argmax_rowblock(x[0].astype(jnp.float32),
+                                             out_hw, align_corners)
         y = resize_bilinear(x, out_hw, align_corners)
         return jnp.argmax(y[0], axis=-1).astype(jnp.int32)
     L = x[0].astype(jnp.float32)  # [h, w, c]

@@ -15,6 +15,11 @@ import sys
 def main():
     port, pid, outdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
     claim_mode = len(sys.argv) > 4 and sys.argv[4] == "claim"
+    # Written BEFORE the heavy imports so the peer's barrier loop can detect
+    # this process dying during startup (model build, compiles) instead of
+    # blocking out its full 900 s deadline (ADVICE r4).
+    with open(os.path.join(outdir, f"ospid_{pid}"), "w") as f:
+        f.write(str(os.getpid()))
     os.environ["XLA_FLAGS"] = (
         "--xla_force_host_platform_device_count=1"
         " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
@@ -51,10 +56,23 @@ def main():
     import time
     open(os.path.join(outdir, f"ready_{pid}"), "w").close()
     other = os.path.join(outdir, f"ready_{1 - pid}")
+    peer_ospid_file = os.path.join(outdir, f"ospid_{1 - pid}")
     deadline = time.time() + 900
     while not os.path.exists(other):
         if time.time() > deadline:
             raise TimeoutError("peer worker never became ready")
+        if os.path.exists(peer_ospid_file):
+            # Abort promptly if the peer died before reaching the barrier
+            # (e.g. crashed during model build) instead of waiting 900 s.
+            with open(peer_ospid_file) as f:
+                peer_ospid = int(f.read() or 0)
+            try:
+                os.kill(peer_ospid, 0)
+            except ProcessLookupError:
+                if not os.path.exists(other):
+                    raise RuntimeError(
+                        f"peer worker (os pid {peer_ospid}) died before "
+                        "reaching the startup barrier") from None
         time.sleep(0.25)
 
     lengths = sequence_lengths(ev.dataset)

@@ -204,8 +204,10 @@ def test_step_epilogue_phase_exact():
     from rmem_tpu.ops.resize import resize_bilinear, upsample_argmax
 
     rng = np.random.RandomState(0)
-    cases = [((13, 13, 11), (49, 49)),    # 4x/4x integral
-             ((121, 213, 12), (481, 849)),  # production logit shape
+    cases = [((13, 13, 11), (49, 49)),    # 4x/4x integral (phase path)
+             ((121, 213, 12), (481, 849)),  # aligned production logit shape
+             ((121, 213, 12), (480, 854)),  # PRODUCTION: original-resolution
+             # output (non-integral both axes -> generic chain, by identity)
              ((13, 13, 12), (13, 37)),    # H identity, W integral
              ((13, 13, 12), (49, 13)),    # H integral, W identity
              ((7, 9, 5), (7, 9)),         # full identity
@@ -220,3 +222,51 @@ def test_step_epilogue_phase_exact():
         new = upsample_argmax(xj, out_hw, True)
         assert new.shape == out_hw
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))
+
+
+def test_step_epilogue_rowblock_exact():
+    """The opt-in streamed row-block epilogue (RMEM_ROWBLOCK_EPILOGUE=1;
+    measured perf-FLAT vs the generic chain on the 480p bench, r5) equals
+    the generic chain on tie-free inputs across non-integral, mixed, and
+    block-padded shapes. Inputs are NOT quantized to exact ties here:
+    the row-block schedule sits in a different XLA fusion context, and
+    under the suite's XLA:CPU flags FMA contraction can differ in the last
+    ulp — at an exact tie that flips the argmax (values are otherwise
+    identical; observed only on constructed ties, r5)."""
+    import os
+
+    from rmem_tpu.ops.resize import resize_bilinear, upsample_argmax
+
+    rng = np.random.RandomState(0)
+    cases = [((121, 213, 12), (480, 854)),  # production original-resolution
+             ((13, 13, 11), (50, 40)),    # non-integral both (single block)
+             ((13, 13, 11), (49, 40)),    # H integral-up, W not: must use
+             # the interleave path's python-double 1-s/r weights
+             ((13, 13, 11), (40, 49)),    # H not, W integral
+             ((25, 13, 7), (13, 40)),     # H strided downsample, W not
+             ((13, 13, 11), (100, 40))]   # >1 row block + pad remainder
+    os.environ["RMEM_ROWBLOCK_EPILOGUE"] = "1"
+    try:
+        for (h, w, c), out_hw in cases:
+            x = rng.randn(1, h, w, c).astype(np.float32)
+            x[..., -1] = -1e10  # mask_unused_ids-style disabled channel
+            xj = jnp.asarray(x)
+            ref = jnp.argmax(resize_bilinear(xj, out_hw, True)[0],
+                             axis=-1).astype(jnp.int32)
+            new = upsample_argmax(xj, out_hw, True)
+            assert new.shape == out_hw
+            np.testing.assert_array_equal(np.asarray(ref), np.asarray(new))
+    finally:
+        del os.environ["RMEM_ROWBLOCK_EPILOGUE"]
+
+
+def test_upsample_argmax_rejects_batched_input():
+    """The fused epilogue's contract is batch-1; larger batches must fail
+    loudly instead of silently dropping batch elements (ADVICE r4)."""
+    import pytest
+
+    from rmem_tpu.ops.resize import upsample_argmax
+
+    x = jnp.zeros((2, 5, 5, 3), jnp.float32)
+    with pytest.raises(ValueError, match="batch 1"):
+        upsample_argmax(x, (9, 9), True)

@@ -28,10 +28,13 @@ def _run_pair(tmp_path, extra=(), attempts=3):
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     for attempt in range(attempts):
         for pid in range(2):  # stale barrier files would defeat the
-            try:              # worker's startup alignment on retries
-                os.remove(os.path.join(str(tmp_path), f"ready_{pid}"))
-            except FileNotFoundError:
-                pass
+            for name in (f"ready_{pid}", f"ospid_{pid}"):
+                try:  # worker's startup alignment on retries (a stale ospid
+                    # from a dead prior attempt would false-trigger the
+                    # peer-death abort)
+                    os.remove(os.path.join(str(tmp_path), name))
+                except FileNotFoundError:
+                    pass
         port = _free_port()
         procs = [subprocess.Popen(
             [sys.executable, worker, str(port), str(pid), str(tmp_path),
