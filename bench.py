@@ -73,17 +73,21 @@ def _flops_per_frame(cfg, model, params, img0, mask, img) -> float | None:
     counts a while/scan body ONCE regardless of trip count, so we lower the
     single-frame `_step` graph, not the chunked scan; (b) Pallas kernels are
     opaque custom-calls counted as zero FLOPs, so the analysis engine runs
-    with `use_pallas_bank_attention=False` — the XLA einsum formulation of
-    bank attention is mathematically identical, making this the analytic
-    count for the fused kernel too. The count engine builds its OWN state:
-    its einsum bank is unpadded (the Pallas engine token-pads slots to a
-    2048-multiple), so the count reflects true tokens, not pad. Lowering
-    only (no compile): HLO-level analysis, no second executable."""
+    with every pallas kernel disabled (`use_pallas_bank_attention=False`,
+    `use_pallas_stem=False`, on a freshly built model since the stem choice
+    is baked at build) — the XLA formulations are mathematically identical,
+    making this the analytic count for the fused kernels too. The count
+    engine builds its OWN state: its einsum bank is unpadded (the Pallas
+    engine token-pads slots to a 2048-multiple), so the count reflects true
+    tokens, not pad. Lowering only (no compile): HLO-level analysis, no
+    second executable."""
     try:
         from rmem_tpu.engine import InferenceEngine
-        eng = InferenceEngine(
-            model, params, cfg.replace(use_pallas_bank_attention=False),
-            donate=False)
+        from rmem_tpu.models import build_vos_model
+        count_cfg = cfg.replace(use_pallas_bank_attention=False,
+                                use_pallas_stem=False)
+        model = build_vos_model(count_cfg.model_vos, count_cfg)
+        eng = InferenceEngine(model, params, count_cfg, donate=False)
         state, _ = eng.add_reference(img0, mask, [NUM_OBJECTS], gap=5)
         lowered = eng._step.lower(params, state, img, out_hw=HW)
         ca = lowered.cost_analysis()

@@ -167,6 +167,15 @@ class Config:
     # spends ~1 ms/frame on halo-patch materialization (ROUND_NOTES r3
     # ablation budget)
     use_pallas_local_attention: bool = True
+    # fused conv7x7s2+BN+relu+maxpool stem kernel (kernels/stem.py) for the
+    # ResNet encoders: the plain XLA conv runs the Cin=3 contraction at ~3%
+    # effective MXU and costs 0.36 ms/frame at 481x849 (r4 ablation);
+    # measured 204.7 -> 241.3 FPS on the 480p bench (r5). None = AUTO:
+    # enabled on TPU backends for the bf16 path. Inference-only (no VJP):
+    # the ResNet module falls back to the plain stem for batch>1 — which
+    # covers every training call (B*T frames at once) — and for f32, so
+    # the parity path is untouched.
+    use_pallas_stem: Optional[bool] = None
     # fused gate-multiply + depthwise-5x5 kernel (kernels/dwconv.py).
     # Default OFF: measured 139.0 vs 149.4 FPS on the 480p bench — the
     # in-kernel unaligned sublane shifts and per-band DMA waits cost more
@@ -192,6 +201,10 @@ class Config:
     # chunk is padded with repeats of the final frame (state is per-sequence
     # so the extra updates are discarded with it).
     eval_scan_chunk: int = 16
+    # >0: record per-window FPS every N frames inside each sequence (one
+    # cheap state-scalar sync per window) — the long-video flatness
+    # diagnostic (RMem Table 2 scenario). 0 = off (no extra syncs).
+    eval_fps_window: int = 0
     # upload raw uint8 frames and run cubic resize + ImageNet normalization
     # on device (ops/resize.py:resize_cubic matches cv2 INTER_CUBIC to fp32
     # noise): 4x less H2D traffic and no per-frame host resize. Float-frame

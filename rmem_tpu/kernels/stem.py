@@ -85,11 +85,15 @@ def _kernel(xe_ref, xo_ref, w2_ref, ab_ref, sel_ref, out_ref,
         for dx in range(7):
             par, off = dx % 2, dx // 2
             for c in range(3):
+                # window is f32: Mosaic rotates are 32-bit only; the cast
+                # to bf16 AFTER the roll is the same rounding the plain
+                # chain applies to x before its conv
                 rows = win[slot, par, c, 2 * r:2 * r + 8, :]   # [8, we]
                 row0 = dx * 24 + c * 8
                 if off:
-                    rows = pltpu.roll(rows, -off, axis=1)
-                pbuf[row0:row0 + 8, :] = rows
+                    # left-shift by `off` (pltpu.roll wants shift >= 0)
+                    rows = pltpu.roll(rows, we - off, axis=1)
+                pbuf[row0:row0 + 8, :] = rows.astype(jnp.bfloat16)
         cm = jax.lax.dot_general(                      # [we, 64] f32
             pbuf[:], w2, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -99,9 +103,12 @@ def _kernel(xe_ref, xo_ref, w2_ref, ab_ref, sel_ref, out_ref,
         valid = jnp.logical_and(cr >= 0, cr <= ho - 1)
         a = jnp.where(jnp.logical_and(colmask, valid), a,
                       jnp.bfloat16(0))
-        m = jnp.maximum(jnp.maximum(a, pltpu.roll(a, 1, axis=0)),
-                        pltpu.roll(a, -1, axis=0))
-        mbuf[r] = m                                    # [17, we, 64] bf16
+        # pool rolls in f32 (32-bit rotate); values are exactly-representable
+        # bf16, and max is a selection, so the round-trip is exact
+        a32 = a.astype(jnp.float32)
+        m = jnp.maximum(jnp.maximum(a32, pltpu.roll(a32, 1, axis=0)),
+                        pltpu.roll(a32, we - 1, axis=0))
+        mbuf[r] = m.astype(jnp.bfloat16)               # [17, we, 64]
 
     sel = sel_ref[:]                                   # [pwp, we] bf16
     for p in range(8):
@@ -141,9 +148,9 @@ def pallas_stem(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
     we = wp // 2
     pwp = -(-pw // 8) * 8
 
-    xT = jnp.transpose(x[0].astype(dt), (2, 0, 1))      # [3, H, W]
+    xT = jnp.transpose(x[0].astype(jnp.float32), (2, 0, 1))  # [3, H, W]
     xp = jnp.pad(xT, ((0, 0), (5, hp - 5 - H), (3, wp - 3 - W)))
-    xe, xo = xp[:, :, 0::2], xp[:, :, 1::2]             # [3, hp, we]
+    xe, xo = xp[:, :, 0::2], xp[:, :, 1::2]             # [3, hp, we] f32
 
     # K-dim order (dx, c, dy) with dy padded 7->8 (zero weight, real data)
     w2 = jnp.pad(kernel.astype(dt).transpose(1, 2, 0, 3),
@@ -165,7 +172,7 @@ def pallas_stem(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 8, pwp, 64), lambda b: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nb, 8, pwp, 64), dt),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, 3, 40, we), dt),          # windows (dbl-buf)
+            pltpu.VMEM((2, 2, 3, 40, we), jnp.float32),  # windows (dbl-buf)
             pltpu.VMEM((168, we), dt),                  # patch matrix
             pltpu.VMEM((17, we, 64), dt),               # col-pooled rows
             pltpu.SemaphoreType.DMA((2, 2)),

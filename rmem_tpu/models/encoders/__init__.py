@@ -12,11 +12,15 @@ from rmem_tpu.models.encoders.resnest import ResNeSt50, ResNeSt101  # noqa: F401
 from rmem_tpu.models.encoders.topdown import ResNet50TopDown  # noqa: F401,E501
 
 
-def build_encoder(name: str, dtype=None):
+def build_encoder(name: str, dtype=None, stem: str = "conv"):
+    """`stem` selects the ResNet stem formulation ("conv" | "s2d" |
+    "im2col" | "pallas", see resnet.ResNet.stem); other encoder families
+    ignore it (their stems are not the 7x7/s2 shape the variants target).
+    """
     if name == "resnet50":
-        return ResNet50(dtype=dtype)
+        return ResNet50(dtype=dtype, stem=stem)
     if name == "resnet101":
-        return ResNet101(dtype=dtype)
+        return ResNet101(dtype=dtype, stem=stem)
     if name == "mobilenetv2":
         return MobileNetV2(dtype=dtype)
     if name == "tiny":

@@ -104,6 +104,28 @@ class _StemConvIm2col(nn.Module):
         return jnp.einsum("bhwk,ko->bhwo", patches, k)
 
 
+class _StemKernelParam(nn.Module):
+    """Parameter-only stand-in for the stem conv: declares the SAME
+    `conv1/kernel` [7,7,3,64] param as nn.Conv (checkpoints/converter
+    untouched) and returns it for the fused Pallas stem."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (7, 7, 3, 64))
+
+
+class _AffineParam(nn.Module):
+    """Parameter-only stand-in for FoldedBN (same `scale`/`bias` tree)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride/dilation) -> 1x1(x4) with projection shortcut
     (resnet.py:10-68)."""
@@ -156,16 +178,25 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         variant = os.environ.get("RMEM_STEM", self.stem)
-        if variant == "s2d":
-            x = _StemConvS2D(name="conv1", dtype=self.dtype)(x)
-        elif variant == "im2col":
-            x = _StemConvIm2col(name="conv1", dtype=self.dtype)(x)
+        if (variant == "pallas" and x.shape[0] == 1 and x.shape[-1] == 3
+                and self.dtype == jnp.bfloat16):
+            # fused conv+BN+relu+maxpool Pallas kernel (kernels/stem.py);
+            # same param tree as the plain path (conv1/kernel + bn1 affine)
+            from rmem_tpu.kernels.stem import pallas_stem
+            kernel = _StemKernelParam(name="conv1")()
+            scale, bias = _AffineParam(64, name="bn1")()
+            x = pallas_stem(x, kernel, scale, bias)
         else:
-            x = conv(64, 7, stride=2, bias=False, name="conv1",
-                     dtype=self.dtype)(x)
-        x = FoldedBN(64, name="bn1")(x)
-        x = nn.relu(x)
-        x = max_pool_3x3_s2(x)
+            if variant == "s2d":
+                x = _StemConvS2D(name="conv1", dtype=self.dtype)(x)
+            elif variant == "im2col":
+                x = _StemConvIm2col(name="conv1", dtype=self.dtype)(x)
+            else:
+                x = conv(64, 7, stride=2, bias=False, name="conv1",
+                         dtype=self.dtype)(x)
+            x = FoldedBN(64, name="bn1")(x)
+            x = nn.relu(x)
+            x = max_pool_3x3_s2(x)
 
         xs = []
         strides = (1, 2, 2)
@@ -185,9 +216,9 @@ class ResNet(nn.Module):
         return tuple(xs)
 
 
-def ResNet50(dtype=None) -> ResNet:
-    return ResNet(layers=(3, 4, 6, 3), dtype=dtype)
+def ResNet50(dtype=None, stem: str = "conv") -> ResNet:
+    return ResNet(layers=(3, 4, 6, 3), dtype=dtype, stem=stem)
 
 
-def ResNet101(dtype=None) -> ResNet:
-    return ResNet(layers=(3, 4, 23, 3), dtype=dtype)
+def ResNet101(dtype=None, stem: str = "conv") -> ResNet:
+    return ResNet(layers=(3, 4, 23, 3), dtype=dtype, stem=stem)

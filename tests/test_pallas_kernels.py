@@ -435,3 +435,61 @@ def test_pallas_infer_kernel_qbias_matches_slab_add():
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(rec), np.asarray(ref_rec),
                                atol=2e-5)
+
+
+def _xla_stem_bf16(x, k, scale, bias):
+    """The ResNet stem chain exactly as the plain bf16 path computes it:
+    conv7x7/s2 (bf16 in, f32 accum, bf16 out) -> FoldedBN affine in bf16 ->
+    relu -> torch-style maxpool 3x3/s2 pad 1."""
+    import flax.linen as nn
+    dt = jnp.bfloat16
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), k.astype(dt), (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = nn.relu(y * scale.astype(dt) + bias.astype(dt))
+    return nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+
+@pytest.mark.parametrize("hw", [(121, 213), (65, 129), (120, 200)])
+def test_pallas_stem_matches_xla_chain(hw):
+    """Fused conv+BN+relu+maxpool stem kernel (kernels/stem.py) vs the
+    plain XLA chain, bf16: differences are bf16 accumulation-order noise
+    only (measured max rel ~0.9% at 481x849 in f32-vs-f32 terms; here the
+    bound is one bf16 ulp of headroom)."""
+    from rmem_tpu.kernels.stem import pallas_stem
+
+    rng = np.random.RandomState(0)
+    H, W = hw
+    x = _rand(rng, 1, H, W, 3)
+    k = _rand(rng, 7, 7, 3, 64) * 0.1
+    s = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+    b = _rand(rng, 64) * 0.1
+    ref = np.asarray(_xla_stem_bf16(x, k, s, b), np.float32)
+    got = np.asarray(pallas_stem(x, k, s, b, interpret=True), np.float32)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.02)
+
+
+def test_resnet_pallas_stem_variant_matches_conv():
+    """ResNet with stem='pallas' shares the exact param tree with the plain
+    stem and produces the same pyramid within bf16 tolerance (the fused
+    kernel is an opt-in inference formulation, cfg.use_pallas_stem)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rmem_tpu.models.encoders.resnet import ResNet
+
+    rng = np.random.RandomState(1)
+    x = _rand(rng, 1, 65, 97, 3)
+    plain = ResNet(layers=(1, 1, 1), dtype=jnp.bfloat16, stem="conv")
+    fused = ResNet(layers=(1, 1, 1), dtype=jnp.bfloat16, stem="pallas")
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+    with pltpu.force_tpu_interpret_mode():
+        params2 = fused.init(jax.random.PRNGKey(0), x)["params"]
+        got = fused.apply({"params": params}, x)
+    assert (jax.tree.structure(jax.tree.map(jnp.shape, params))
+            == jax.tree.structure(jax.tree.map(jnp.shape, params2)))
+    ref = plain.apply({"params": params}, x)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(r, np.float32),
+                                   rtol=0.12, atol=0.05)
