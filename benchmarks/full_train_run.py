@@ -100,7 +100,12 @@ def main():
     ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--dir", default="/root/fullrun")
     ap.add_argument("--pool", type=int, default=16)
-    ap.add_argument("--data", choices=("blobs", "test"), default="blobs")
+    ap.add_argument("--data", choices=("blobs", "test", "devgen"),
+                    default="blobs",
+                    help="devgen = UNBOUNDED on-device procedural clips "
+                         "(rmem_tpu.data.synthetic): a fresh clip every "
+                         "step, zero H2D, non-memorizable (VERDICT r4 "
+                         "Next #5a)")
     ap.add_argument("--model", default="r50_deaotl")
     ap.add_argument("--hw", type=int, nargs=2, default=(465, 465))
     ap.add_argument("--seq_len", type=int, default=17)
@@ -135,19 +140,30 @@ def main():
         f"hw={args.hw} seq={args.seq_len} pid={os.getpid()} ===")
     tr = Trainer(cfg, log=log)
 
-    # build the device-resident pool, then swap it in (uploaded once;
-    # ~44 MB per batch at 465x465 seq-17)
-    if args.data == "blobs":
-        host_batches = _blob_pool(args.pool, args.seq_len, tuple(args.hw))
+    if args.data == "devgen":
+        # unbounded on-device generation: batch i is a pure function of
+        # (seed, i), so the resumed process regenerates the same stream
+        from rmem_tpu.data.synthetic import DeviceGenLoader
+        tr.loader.close()
+        tr.loader = DeviceGenLoader(1, args.seq_len, tuple(args.hw),
+                                    start=int(tr.state.step))
+        log(f"devgen loader: unbounded on-device clips from step "
+            f"{int(tr.state.step)}")
     else:
-        host_batches = [next(tr.loader) for _ in range(args.pool)]
-    tr.loader.close()
-    pool = [shard_batch(b, tr.mesh) for b in host_batches]
-    import jax
-    jax.block_until_ready(pool)
-    tr.loader = _PoolLoader(pool)
-    log(f"pool resident: {args.pool} batches x "
-        f"{host_batches[0]['imgs'].nbytes / 1e6:.1f} MB")
+        # build the device-resident pool, then swap it in (uploaded once;
+        # ~44 MB per batch at 465x465 seq-17)
+        if args.data == "blobs":
+            host_batches = _blob_pool(args.pool, args.seq_len,
+                                      tuple(args.hw))
+        else:
+            host_batches = [next(tr.loader) for _ in range(args.pool)]
+        tr.loader.close()
+        pool = [shard_batch(b, tr.mesh) for b in host_batches]
+        import jax
+        jax.block_until_ready(pool)
+        tr.loader = _PoolLoader(pool)
+        log(f"pool resident: {args.pool} batches x "
+            f"{host_batches[0]['imgs'].nbytes / 1e6:.1f} MB")
 
     final = tr.train()
     log(f"=== done at step {int(tr.state.step)}: "

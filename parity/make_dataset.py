@@ -60,6 +60,13 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--height", type=int, default=208)
     ap.add_argument("--width", type=int, default=304)
+    ap.add_argument("--gt_all", action="store_true",
+                    help="write a GT annotation for EVERY frame (blob "
+                         "coverage masks), enabling the offline J/J_tr "
+                         "scorer on the fake data — the acceptance-drill "
+                         "mode (parity/acceptance.py). Default writes only "
+                         "the first-frame annotation like real VOST eval "
+                         "input.")
     args = ap.parse_args()
 
     names = [f"seq{i}" for i in range(args.seqs)]
@@ -76,11 +83,32 @@ def main() -> None:
             img = _frame(si, t, args.height, args.width)
             cv2.imwrite(os.path.join(img_dir, f"{t:05d}.jpg"),
                         img[:, :, ::-1])  # RGB -> BGR for cv2
-        lab = _first_label(args.height, args.width)
-        pil = Image.fromarray(lab, mode="P")
-        pil.putpalette(_PALETTE_HEAD + [0] * (768 - len(_PALETTE_HEAD)))
-        pil.save(os.path.join(ann_dir, "00000.png"))
-    print(f"wrote {args.seqs} seqs x {args.frames} frames to {args.root}")
+        if args.gt_all:
+            h, w = args.height, args.width
+            yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+            for t in range(args.frames):
+                # GT = the frame generator's own blob fields, thresholded:
+                # deterministic moving masks consistent with the images
+                cy1, cx1 = h * (0.3 + 0.005 * t), w * (0.25 + 0.008 * t)
+                cy2, cx2 = h * (0.65 - 0.004 * t), w * (0.7 - 0.006 * t)
+                b1 = np.exp(-(((yy - cy1) / (0.12 * h)) ** 2
+                              + ((xx - cx1) / (0.12 * w)) ** 2))
+                b2 = np.exp(-(((yy - cy2) / (0.15 * h)) ** 2
+                              + ((xx - cx2) / (0.1 * w)) ** 2))
+                lab = np.zeros((h, w), np.uint8)
+                lab[b1 > 0.55] = 1
+                lab[b2 > 0.55] = 2
+                pil = Image.fromarray(lab, mode="P")
+                pil.putpalette(_PALETTE_HEAD
+                               + [0] * (768 - len(_PALETTE_HEAD)))
+                pil.save(os.path.join(ann_dir, f"{t:05d}.png"))
+        else:
+            lab = _first_label(args.height, args.width)
+            pil = Image.fromarray(lab, mode="P")
+            pil.putpalette(_PALETTE_HEAD + [0] * (768 - len(_PALETTE_HEAD)))
+            pil.save(os.path.join(ann_dir, "00000.png"))
+    print(f"wrote {args.seqs} seqs x {args.frames} frames to {args.root}"
+          + (" (GT for all frames)" if args.gt_all else ""))
 
 
 if __name__ == "__main__":

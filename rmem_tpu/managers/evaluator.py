@@ -108,10 +108,20 @@ class SequenceResult:
     name: str
     num_frames: int
     seconds: float
+    # (frames, seconds) per eval_fps_window-frame window — the long-video
+    # flatness diagnostic (RMem Table 2 scenario); None when windowing is
+    # off
+    windows: Optional[List[Tuple[int, float]]] = None
 
     @property
     def fps(self) -> float:
         return (self.num_frames - 1) / max(self.seconds, 1e-9)
+
+    @property
+    def window_fps(self) -> Optional[List[float]]:
+        if not self.windows:
+            return None
+        return [n / max(s, 1e-9) for n, s in self.windows]
 
 
 class Evaluator:
@@ -234,6 +244,19 @@ class Evaluator:
             "all_seq_fps": float(np.mean([r.fps for r in results]))
             if results else 0.0,
         }
+        if any(r.windows for r in results):
+            stats["per_seq_window_fps"] = {
+                r.name: [round(f, 2) for f in r.window_fps]
+                for r in results if r.windows}
+        try:
+            mem = jax.local_devices()[0].memory_stats()
+        except Exception:
+            mem = None  # backend without memory stats (CPU, some plugins)
+        if mem and mem.get("peak_bytes_in_use"):
+            # peak HBM over the run — the RMem boundedness claim's memory
+            # axis (paper Table 6 MaxMem column)
+            stats["peak_hbm_gb"] = round(
+                mem["peak_bytes_in_use"] / 2**30, 3)
         if jax.process_count() > 1:
             # merge scalar stats across hosts (the reference's info_queue
             # reduction, evaluator.py:589-613): global frame count and the
@@ -421,6 +444,16 @@ class Evaluator:
         dev_prep = bool(cfg.eval_device_prep) and not self.probe
         self._yuv = bool(cfg.eval_yuv420_upload) and dev_prep
         in_hws = None
+        # per-window FPS (long-video flatness diagnostic): every
+        # eval_fps_window DISPATCHED frames, one cheap scalar sync on the
+        # bank count bounds all dispatched chunks and stamps the window.
+        # Frames still in the upload pipeline roll into the next window —
+        # a constant one-chunk lag that doesn't affect flatness.
+        fw = int(cfg.eval_fps_window or 0)
+        windows: List[Tuple[int, float]] = []
+        disp_frames = 0
+        win_mark = 0
+        win_t = None
         # depth-1 upload pipeline: chunk i+1's H2D streams on its thread
         # while chunk i's dispatched scan computes on device
         uploader = _ChunkPipeline()
@@ -529,7 +562,15 @@ class Evaluator:
                     states, labels = self._dispatch_chunk(
                         states, dev, k, (ori_h, ori_w), flips, in_hws, dev_prep)
                     pending.append((names, (ori_h, ori_w), labels))
+                    disp_frames += len(names)
                 buf = []
+                if fw and disp_frames - win_mark >= fw:
+                    np.asarray(states[0].bank.count)  # bounds all dispatches
+                    now = time.perf_counter()
+                    if win_t is None:
+                        win_t = t_wall0
+                    windows.append((disp_frames - win_mark, now - win_t))
+                    win_mark, win_t = disp_frames, now
             ready = []
             if buf and not self.probe:
                 ready += uploader.submit(*self._chunk_host(buf, dev_prep))
@@ -551,11 +592,16 @@ class Evaluator:
             pending[-1] = (names, hw_, np.asarray(labels))
         if not self.probe and n_processed > 1:
             seconds = time.perf_counter() - t_wall0
+        if fw and win_t is not None and disp_frames > win_mark:
+            # tail partial window (includes the drain + final sync)
+            windows.append((disp_frames - win_mark,
+                            time.perf_counter() - win_t))
         for names, (oh, ow), labels in pending:
             labels_np = np.asarray(labels, np.uint8)
             for i, name in enumerate(names):
                 self._save(labels_np[i], seq.name, name, oh, ow, obj_idx)
-        return SequenceResult(seq.name, n_processed, seconds)
+        return SequenceResult(seq.name, n_processed, seconds,
+                              windows=windows or None)
 
     def _midvideo_reref(self, states, frame, imgs, gap, frame_idx, groups):
         """Mid-video annotated frame (evaluator.py:425-432,484-508):

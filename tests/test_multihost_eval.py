@@ -4,59 +4,15 @@ end-to-end, previously never executed with process_count > 1."""
 
 import json
 import os
-import socket
-import subprocess
-import sys
 
 import pytest
 
-
-def _free_port():
-    s = socket.socket()
-    s.bind(("localhost", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+from tests._multihost_common import run_pair
 
 
 def _run_pair(tmp_path, extra=(), attempts=3):
-    worker = os.path.join(os.path.dirname(__file__),
-                          "_multihost_eval_worker.py")
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    for attempt in range(attempts):
-        for pid in range(2):  # stale barrier files would defeat the
-            for name in (f"ready_{pid}", f"ospid_{pid}"):
-                try:  # worker's startup alignment on retries (a stale ospid
-                    # from a dead prior attempt would false-trigger the
-                    # peer-death abort)
-                    os.remove(os.path.join(str(tmp_path), name))
-                except FileNotFoundError:
-                    pass
-        port = _free_port()
-        procs = [subprocess.Popen(
-            [sys.executable, worker, str(port), str(pid), str(tmp_path),
-             *extra],
-            env=env, cwd=repo_root,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-            for pid in range(2)]
-        outs = [p.communicate(timeout=1200) for p in procs]
-        # gloo's KV-store rendezvous has a fixed 30 s deadline inside jax;
-        # on a loaded 1-core host two cold-compiling processes can miss it.
-        # That is a machine-load flake, not an eval bug — retry it, but
-        # fail immediately on any other error.
-        full_errs = [se.decode() for _, se in outs]
-        if (attempt + 1 < attempts
-                and any(p.returncode != 0 for p in procs)
-                and all("DEADLINE_EXCEEDED" in e or p.returncode == 0
-                        for p, e in zip(procs, full_errs))):
-            continue
-        for p, e in zip(procs, full_errs):
-            assert p.returncode == 0, e[-3000:]
-        break
-
+    run_pair(tmp_path, "_multihost_eval_worker.py", extra=extra,
+             attempts=attempts)
     res = []
     for pid in range(2):
         with open(os.path.join(str(tmp_path), f"p{pid}.json")) as f:
