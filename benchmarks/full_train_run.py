@@ -110,21 +110,53 @@ def main():
     ap.add_argument("--hw", type=int, nargs=2, default=(465, 465))
     ap.add_argument("--seq_len", type=int, default=17)
     ap.add_argument("--log_step", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="GLOBAL batch size (sharded over the mesh)")
+    ap.add_argument("--cpu_devices", type=int, default=0,
+                    help="force the CPU platform with N virtual devices and "
+                         "run the REAL Trainer loop (meters, EMA, ckpt "
+                         "rotation) under an N-way data-parallel SPMD mesh "
+                         "— the reference's 4-GPU global-batch-8 schedule "
+                         "shape (train_vost.sh:3-27) on a rig with one chip "
+                         "(VERDICT r4 Next #5b)")
+    ap.add_argument("--save_step", type=int, default=0,
+                    help="override train_save_step (0 = preset default)")
     args = ap.parse_args()
 
+    if args.cpu_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            flags += (" --xla_force_host_platform_device_count="
+                      f"{args.cpu_devices}")
+        if "collective_call_terminate_timeout" not in flags:
+            flags += (" --xla_cpu_collective_call_terminate_timeout_seconds"
+                      "=3600"
+                      " --xla_cpu_collective_call_warn_stuck_timeout_seconds"
+                      "=1800")
+        os.environ["XLA_FLAGS"] = flags.strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     from rmem_tpu.utils import enable_compilation_cache
-    enable_compilation_cache()
+    enable_compilation_cache("/tmp/rmem_tpu_jax_cache_cpu"
+                             if args.cpu_devices
+                             else "/tmp/rmem_tpu_jax_cache")
     from rmem_tpu.config import get_config
     from rmem_tpu.managers.trainer import Trainer
     from rmem_tpu.parallel import shard_batch
 
+    cfgkw = {}
+    if args.cpu_devices:
+        cfgkw["mesh_shape"] = (args.cpu_devices,)
+    if args.save_step:
+        cfgkw["train_save_step"] = args.save_step
     cfg = get_config(
         "pre_vost_2", "fullrun", args.model,
         datasets=("test",), pretrain=False, train_auto_resume=True,
         dir_root=args.dir, train_total_steps=args.steps,
         data_seq_len=args.seq_len, data_randomcrop=tuple(args.hw),
-        train_batch_size=1, train_log_step=args.log_step,
-        data_workers=0)
+        train_batch_size=args.batch, train_log_step=args.log_step,
+        data_workers=0, **cfgkw)
 
     log_path = os.path.join(args.dir, "train_log.txt")
     os.makedirs(args.dir, exist_ok=True)
@@ -145,11 +177,12 @@ def main():
         # (seed, i), so the resumed process regenerates the same stream
         from rmem_tpu.data.synthetic import DeviceGenLoader
         tr.loader.close()
-        tr.loader = DeviceGenLoader(1, args.seq_len, tuple(args.hw),
+        tr.loader = DeviceGenLoader(args.batch, args.seq_len, tuple(args.hw),
                                     start=int(tr.state.step))
         log(f"devgen loader: unbounded on-device clips from step "
             f"{int(tr.state.step)}")
     else:
+        assert args.batch == 1, "--batch >1 requires --data devgen"
         # build the device-resident pool, then swap it in (uploaded once;
         # ~44 MB per batch at 465x465 seq-17)
         if args.data == "blobs":

@@ -176,6 +176,11 @@ class Config:
     # covers every training call (B*T frames at once) — and for f32, so
     # the parity path is untouched.
     use_pallas_stem: Optional[bool] = None
+    # also route the TRAINING batches (B*T frames) through the fused stem,
+    # with gradients from the XLA-transposed VJP
+    # (kernels/stem.pallas_stem_trainable). Default OFF pending the train
+    # A/B; requires use_pallas_stem resolved on.
+    use_pallas_stem_train: bool = False
     # fused gate-multiply + depthwise-5x5 kernel (kernels/dwconv.py).
     # Default OFF: measured 139.0 vs 149.4 FPS on the 480p bench — the
     # in-kernel unaligned sublane shifts and per-band DMA waits cost more

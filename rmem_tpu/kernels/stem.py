@@ -47,31 +47,36 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(xe_ref, xo_ref, w2_ref, ab_ref, sel_ref, out_ref,
             win, pbuf, mbuf, sems, *, nb: int, we: int, wo: int, ho: int,
             pwp: int):
-    b = pl.program_id(0)
-    slot = jax.lax.rem(b, 2)
+    bi_img = pl.program_id(0)                   # batch image
+    b = pl.program_id(1)                        # pool-row block
+    lin = bi_img * nb + b
+    total = pl.num_programs(0) * nb
+    slot = jax.lax.rem(lin, 2)
 
-    def issue(b_, sl):
+    def issue(lin_, sl):
+        i_ = lin_ // nb
+        b_ = jax.lax.rem(lin_, nb)
         ce = pltpu.make_async_copy(
-            xe_ref.at[:, pl.ds(32 * b_, 40), :], win.at[sl, 0],
+            xe_ref.at[i_, :, pl.ds(32 * b_, 40), :], win.at[sl, 0],
             sems.at[0, sl])
         co = pltpu.make_async_copy(
-            xo_ref.at[:, pl.ds(32 * b_, 40), :], win.at[sl, 1],
+            xo_ref.at[i_, :, pl.ds(32 * b_, 40), :], win.at[sl, 1],
             sems.at[1, sl])
         return ce, co
 
-    @pl.when(b == 0)
+    @pl.when(lin == 0)
     def _warmup():
-        ce, co = issue(b, slot)
+        ce, co = issue(lin, slot)
         ce.start()
         co.start()
 
-    @pl.when(b + 1 < nb)
+    @pl.when(lin + 1 < total)
     def _prefetch():
-        ce, co = issue(b + 1, jax.lax.rem(b + 1, 2))
+        ce, co = issue(lin + 1, jax.lax.rem(lin + 1, 2))
         ce.start()
         co.start()
 
-    ce, co = issue(b, slot)  # same descriptors, for the waits
+    ce, co = issue(lin, slot)  # same descriptors, for the waits
     ce.wait()
     co.wait()
 
@@ -117,7 +122,7 @@ def _kernel(xe_ref, xo_ref, w2_ref, ab_ref, sel_ref, out_ref,
         comp = jax.lax.dot_general(                    # exact 0/1 selection
             sel, o, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        out_ref[0, p] = comp.astype(out_ref.dtype)
+        out_ref[0, 0, p] = comp.astype(out_ref.dtype)
 
 
 @functools.lru_cache(maxsize=64)
@@ -131,14 +136,17 @@ def _sel_np(pwp: int, we: int) -> np.ndarray:
 
 def pallas_stem(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
                 bias: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """maxpool3x3s2(relu(conv7x7s2(x) * scale + bias)) for x [1, H, W, 3].
+    """maxpool3x3s2(relu(conv7x7s2(x) * scale + bias)) for x [B, H, W, 3].
 
     kernel: [7, 7, 3, 64] (the unchanged `conv1/kernel` param); scale/bias:
-    [64] FoldedBN affine. Returns [1, ph, pw, 64] bf16 where ph/pw are the
-    pooled dims ((H-1)//2//2 + 1 style, matching torch). bf16 compute path
-    only (the f32 parity path keeps the plain conv)."""
+    [64] FoldedBN affine. Returns [B, ph, pw, 64] bf16 where ph/pw are the
+    pooled dims ((H-1)//2//2 + 1 style, matching torch). Batch rides a
+    leading grid dimension (the train graph encodes B*T frames at once);
+    windows stay double-buffered across the flattened (image, block)
+    sequence. bf16 compute path only (the f32 parity path keeps the plain
+    conv)."""
     B, H, W, C = x.shape
-    assert B == 1 and C == 3, (B, C)
+    assert C == 3, C
     dt = jnp.bfloat16
     ho, wo = (H - 1) // 2 + 1, (W - 1) // 2 + 1
     ph, pw = (ho - 1) // 2 + 1, (wo - 1) // 2 + 1
@@ -148,9 +156,9 @@ def pallas_stem(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
     we = wp // 2
     pwp = -(-pw // 8) * 8
 
-    xT = jnp.transpose(x[0].astype(jnp.float32), (2, 0, 1))  # [3, H, W]
-    xp = jnp.pad(xT, ((0, 0), (5, hp - 5 - H), (3, wp - 3 - W)))
-    xe, xo = xp[:, :, 0::2], xp[:, :, 1::2]             # [3, hp, we] f32
+    xT = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))  # [B, 3, H, W]
+    xp = jnp.pad(xT, ((0, 0), (0, 0), (5, hp - 5 - H), (3, wp - 3 - W)))
+    xe, xo = xp[..., 0::2], xp[..., 1::2]           # [B, 3, hp, we] f32
 
     # K-dim order (dx, c, dy) with dy padded 7->8 (zero weight, real data)
     w2 = jnp.pad(kernel.astype(dt).transpose(1, 2, 0, 3),
@@ -161,7 +169,7 @@ def pallas_stem(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
     kern = functools.partial(_kernel, nb=nb, we=we, wo=wo, ho=ho, pwp=pwp)
     out = pl.pallas_call(
         kern,
-        grid=(nb,),
+        grid=(B, nb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),       # xe (HBM, DMA'd)
             pl.BlockSpec(memory_space=pltpu.ANY),       # xo
@@ -169,8 +177,9 @@ def pallas_stem(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # ab
             pl.BlockSpec(memory_space=pltpu.VMEM),      # sel
         ],
-        out_specs=pl.BlockSpec((1, 8, pwp, 64), lambda b: (b, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nb, 8, pwp, 64), dt),
+        out_specs=pl.BlockSpec((1, 1, 8, pwp, 64),
+                               lambda i, b: (i, b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, nb, 8, pwp, 64), dt),
         scratch_shapes=[
             pltpu.VMEM((2, 2, 3, 40, we), jnp.float32),  # windows (dbl-buf)
             pltpu.VMEM((168, we), dt),                  # patch matrix
@@ -180,5 +189,42 @@ def pallas_stem(x: jnp.ndarray, kernel: jnp.ndarray, scale: jnp.ndarray,
         interpret=interpret,
     )(xe, xo, w2, ab, sel)
 
-    out = out.reshape(nb * 8, pwp, 64)[:ph, :pw]
-    return out[None]
+    return out.reshape(B, nb * 8, pwp, 64)[:, :ph, :pw]
+
+
+def xla_stem_chain(x, kernel, scale, bias):
+    """The plain-stem chain as one function (bf16 conv -> FoldedBN affine
+    -> relu -> torch maxpool 3x3/s2): the math the kernel reproduces, and
+    the backward used by pallas_stem_trainable."""
+    import flax.linen as nn
+
+    dt = jnp.bfloat16
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), kernel.astype(dt), (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = nn.relu(y * scale.astype(dt) + bias.astype(dt))
+    return nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def pallas_stem_trainable(x, kernel, scale, bias, interpret=False):
+    """Differentiable stem: Pallas forward, XLA-VJP backward (the same
+    saved-inputs transposition pattern as pallas_local_attention_trainable).
+    Every forward execution — including the remat recompute inside the
+    backward — runs the fused kernel; gradients come from transposing the
+    math-identical XLA chain at the saved inputs."""
+    return pallas_stem(x, kernel, scale, bias, interpret=interpret)
+
+
+def _stem_fwd(x, kernel, scale, bias, interpret):
+    out = pallas_stem(x, kernel, scale, bias, interpret=interpret)
+    return out, (x, kernel, scale, bias)
+
+
+def _stem_bwd(interpret, res, g):
+    x, kernel, scale, bias = res
+    _, vjp = jax.vjp(xla_stem_chain, x, kernel, scale, bias)
+    return vjp(g.astype(jnp.bfloat16))
+
+
+pallas_stem_trainable.defvjp(_stem_fwd, _stem_bwd)

@@ -257,6 +257,23 @@ class Evaluator:
             # axis (paper Table 6 MaxMem column)
             stats["peak_hbm_gb"] = round(
                 mem["peak_bytes_in_use"] / 2**30, 3)
+        else:
+            # axon reports no memory_stats: fall back to the LIVE device
+            # bytes at run end (params + engine state incl. the fixed-
+            # capacity bank) — the bounded-state half of the claim; XLA
+            # temp peaks are additionally bounded by compile-time planning
+            try:
+                live = 0
+                for a in jax.live_arrays():
+                    try:
+                        if next(iter(a.devices())).platform == "cpu":
+                            continue
+                    except Exception:
+                        pass
+                    live += a.nbytes
+                stats["live_device_mb"] = round(live / 2**20, 1)
+            except Exception:
+                pass
         if jax.process_count() > 1:
             # merge scalar stats across hosts (the reference's info_queue
             # reduction, evaluator.py:589-613): global frame count and the

@@ -178,14 +178,18 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         variant = os.environ.get("RMEM_STEM", self.stem)
-        if (variant == "pallas" and x.shape[0] == 1 and x.shape[-1] == 3
-                and self.dtype == jnp.bfloat16):
+        if (variant in ("pallas", "pallas_train") and x.shape[-1] == 3
+                and self.dtype == jnp.bfloat16
+                and (x.shape[0] == 1 or variant == "pallas_train")):
             # fused conv+BN+relu+maxpool Pallas kernel (kernels/stem.py);
-            # same param tree as the plain path (conv1/kernel + bn1 affine)
-            from rmem_tpu.kernels.stem import pallas_stem
+            # same param tree as the plain path (conv1/kernel + bn1
+            # affine). "pallas" fires on batch-1 (inference) calls only;
+            # "pallas_train" also takes the B*T-frame training batches
+            # (gradients via the custom XLA-transposed VJP).
+            from rmem_tpu.kernels.stem import pallas_stem_trainable
             kernel = _StemKernelParam(name="conv1")()
             scale, bias = _AffineParam(64, name="bn1")()
-            x = pallas_stem(x, kernel, scale, bias)
+            x = pallas_stem_trainable(x, kernel, scale, bias)
         else:
             if variant == "s2d":
                 x = _StemConvS2D(name="conv1", dtype=self.dtype)(x)

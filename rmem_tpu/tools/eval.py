@@ -90,6 +90,7 @@ def main():
     if args.score and args.dataset not in ("test",):
         from rmem_tpu.evaluation import Evaluation
         from rmem_tpu.evaluation.evaluation import summarize
+        from rmem_tpu.evaluation.evaluation_method import write_csvs
         root = args.data_root or cfg.dir_data
         sub = {"vost": "VOST", "davis2017": "DAVIS",
                "long_videos": "long_videos"}[args.dataset]
@@ -98,8 +99,11 @@ def main():
         metric = tuple(args.metrics)
         if args.dataset == "long_videos" and "F" not in metric:
             metric = metric + ("F",)
-        print(json.dumps(summarize(e.evaluate(ev.output_root,
-                                              metric=metric)), indent=2))
+        metrics = e.evaluate(ev.output_root, metric=metric)
+        print(json.dumps(summarize(metrics), indent=2))
+        csv_g, csv_seq = write_csvs(ev.output_root, metrics, metric,
+                                    args.split)
+        print(f"wrote {csv_g}\nwrote {csv_seq}")
 
 
 if __name__ == "__main__":

@@ -493,3 +493,38 @@ def test_resnet_pallas_stem_variant_matches_conv():
         np.testing.assert_allclose(np.asarray(g, np.float32),
                                    np.asarray(r, np.float32),
                                    rtol=0.12, atol=0.05)
+
+
+def test_pallas_stem_batched_and_grad():
+    """Batched stem (the train graph encodes B*T frames at once) matches
+    the XLA chain per image, and pallas_stem_trainable's custom VJP equals
+    the plain chain's gradients at the same inputs (same transposition
+    pattern as pallas_local_attention_trainable)."""
+    from rmem_tpu.kernels.stem import (pallas_stem, pallas_stem_trainable,
+                                       xla_stem_chain)
+
+    rng = np.random.RandomState(2)
+    x = _rand(rng, 3, 41, 57, 3)
+    k = _rand(rng, 7, 7, 3, 64) * 0.1
+    s = jnp.asarray(rng.rand(64).astype(np.float32) + 0.5)
+    b = _rand(rng, 64) * 0.1
+    ref = np.asarray(xla_stem_chain(x, k, s, b), np.float32)
+    got = np.asarray(pallas_stem(x, k, s, b, interpret=True), np.float32)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.02)
+
+    def loss_pallas(x_, k_, s_, b_):
+        return jnp.sum(pallas_stem_trainable(x_, k_, s_, b_, True) ** 2)
+
+    def loss_xla(x_, k_, s_, b_):
+        return jnp.sum(xla_stem_chain(x_, k_, s_, b_) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(x, k, s, b)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(x, k, s, b)
+    for a_, b_, name in zip(gp, gx, ("dx", "dk", "dscale", "dbias")):
+        a_, b_ = np.asarray(a_, np.float32), np.asarray(b_, np.float32)
+        # fwd values differ by bf16 accumulation noise; the cotangent g
+        # (2*out) inherits it, so compare with bf16-scale tolerance
+        np.testing.assert_allclose(
+            a_, b_, rtol=0.08, atol=0.05 * (np.abs(b_).max() + 1e-6),
+            err_msg=name)
