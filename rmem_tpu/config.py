@@ -246,6 +246,10 @@ class Config:
     # batch 1, 5.58 vs 6.00 at batch 4, benchmarks/train_bench.py); drop to
     # "full" for memory-limited configs.
     train_remat: str = "dots"
+    # frame-scan unroll factor: >1 duplicates the (rematted) body so XLA can
+    # overlap adjacent frames' independent work and halve loop overhead.
+    # Semantics-free (lax.scan unroll). Measured A/B in train_bench.
+    train_scan_unroll: int = 1
     mesh_shape: Tuple[int, ...] = (1,)   # data-parallel axis sizes
     mesh_axes: Tuple[str, ...] = ("data",)
 

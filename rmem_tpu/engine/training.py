@@ -31,9 +31,8 @@ from rmem_tpu.memory import (bank_append, evict_if_full, init_bank,
                              valid_slot_mask)
 from rmem_tpu.memory.eviction import evict_if_full_gru
 from rmem_tpu.ops.losses import segmentation_loss
-from rmem_tpu.ops.masks import (apply_ignore_token, mask_unused_ids,
-                                one_hot_mask, unshuffle_logits)
-from rmem_tpu.ops.resize import resize_bilinear
+from rmem_tpu.ops.masks import mask_unused_ids, unshuffle_logits
+from rmem_tpu.ops.resize import resize_bilinear, upsample_argmax
 from rmem_tpu.ops.temporal_pe import interpolate_temporal_pe
 
 
@@ -90,29 +89,50 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
     if cfg.use_temporal_positional_embedding:
         cur_pe, mem_pe_table = apply(type(model).temporal_pe)
 
-    oh_flat, ig_flat = one_hot_mask(_flatten_frames(labels),
-                                    cfg.model_max_obj_num)
-    one_hots = oh_flat.reshape((b, t) + oh_flat.shape[1:])
-    ignores = ig_flat.reshape((b, t) + ig_flat.shape[1:])
+    # Identity inputs as INT LABEL PLANES through the id bank's patch-space
+    # one-hot path (models/aot._PatchWiseIdBank, x.ndim==3): training labels
+    # and curriculum predictions are hard, so the reference's float chain
+    # one_hot -> zero-ignored-bg -> shuffle-einsum -> concat-ignore
+    # (aot_engine.py:208-224; ops/masks.apply_ignore_token) collapses to one
+    # integer remap per pixel: channel = perm[label], 255 -> the ignore
+    # channel (obj+1 — a real channel under model_ignore_token, the id
+    # bank's zero-contribution sentinel otherwise, same index either way).
+    # The float path materialized [B,T,H,W,obj+2] one-hots through the scan;
+    # the label-vs-float equality is pinned by tests/test_models.py.
+    ign_val = jnp.int32(cfg.model_max_obj_num + 1)
+    if shuffle is not None:
+        perm = jnp.argmax(shuffle, axis=-1).astype(jnp.int32)  # [B, obj+1]
+    else:
+        perm = None
 
-    def id_input_from(onehot, ignore):
-        """Shuffled (obj+2)-channel id-bank input (aot_engine.py:208-224)."""
-        if cfg.model_ignore_token:
-            return apply_ignore_token(onehot, ignore, shuffle)
-        if shuffle is not None:
-            return jnp.einsum("bhwo,bot->bhwt", onehot, shuffle)
-        return onehot
+    def map_id_label(label):
+        """[B,H,W] raw label (255=ignore) -> id-bank channel plane. The
+        permutation lookup is an unrolled select chain over the obj+1 ids —
+        a per-pixel gather from the tiny table lowers to a slow TPU gather."""
+        safe = jnp.clip(label, 0, cfg.model_max_obj_num).astype(jnp.int32)
+        if perm is not None:
+            mapped = jnp.zeros_like(safe)
+            for o in range(cfg.model_max_obj_num + 1):
+                mapped = jnp.where(safe == o, perm[:, o, None, None], mapped)
+        else:
+            mapped = safe
+        return jnp.where(label == 255, ign_val, mapped)
 
-    def id_embed(id_input):
-        e = apply(type(model).get_id_emb, id_input)
+    def id_embed(id_label):
+        e = apply(type(model).get_id_emb, id_label)
         # freeze_id during the curriculum (aot_engine.py:229-231)
         return jnp.where(use_prev_pred, jax.lax.stop_gradient(e), e)
 
-    def decode(intermediates, xs, frame_label):
+    def decode4(intermediates, xs):
+        """Decode to the /4 logit grid (pre-upsample): unshuffled, unused ids
+        masked. The full-resolution upsample + loss run OUTSIDE the frame
+        scan, batched over frames (see below)."""
         logits4 = apply(type(model).decode_id_logits, intermediates, xs)
         if shuffle is not None:
             logits4 = unshuffle_logits(logits4, shuffle)
-        logits4 = mask_unused_ids(logits4, obj_nums)
+        return mask_unused_ids(logits4, obj_nums)
+
+    def frame_loss(logits4, frame_label):
         logits = resize_bilinear(logits4, hw_in, cfg.model_align_corners)
         loss = segmentation_loss(
             logits, frame_label, obj_nums, step,
@@ -120,10 +140,13 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
             cfg.train_hard_mining_ratio * cfg.train_total_steps)
         return logits, loss
 
+    def decode(intermediates, xs, frame_label):
+        return frame_loss(decode4(intermediates, xs), frame_label)
+
     # 2. reference frame (aot_engine.py:241-325)
     xs0 = tuple(x[:, 0] for x in xs_bt)
     xs_frames0_feat = xs0[-1].reshape(b, hw, c)
-    ref_id_emb = id_embed(id_input_from(one_hots[:, 0], ignores[:, 0]))
+    ref_id_emb = id_embed(map_id_label(labels[:, 0]))
     mem_pe1 = mem_pe_table[0:1] if mem_pe_table is not None else None
     inter0, mems0, _ = apply(type(model).lstt_forward,
                              xs0[-1].reshape(b, hw, c), None, None, None,
@@ -172,8 +195,8 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
 
     # 3. frame scan (aot_engine.py:84-106)
     def frame_body(carry, data):
-        bank, short, first_short, last_mem_step, ghk, ghv, _ = carry
-        xs_f, label_f, onehot_f, ignore_f, fidx = data
+        bank, short, first_short, last_mem_step, ghk, ghv = carry
+        xs_f, label_f, fidx = data
         feat = xs_f[-1].reshape(b, hw, c)
         slot_pe = None
         if mem_pe_table is not None:
@@ -184,15 +207,24 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
                                valid_slot_mask(bank), short, None, self_pos,
                                cur_pe, slot_pe, (eh, ew), False,
                                deterministic, dp_rng, use_pallas)
-        logits_full, loss = decode(inter, xs_f, label_f)
+        logits4 = decode4(inter, xs_f)
 
         # memory write for THIS frame (aot_engine.py:91-99,327-336):
-        # GT identity, or the hard argmax prediction under the curriculum
-        pred_label = jnp.argmax(logits_full, axis=-1).astype(jnp.int32)
-        pred_oh, _ = one_hot_mask(pred_label, cfg.model_max_obj_num)
-        pred_in = id_input_from(pred_oh, jnp.zeros_like(ignore_f))
-        gt_in = id_input_from(onehot_f, ignore_f)
-        id_emb = id_embed(jnp.where(use_prev_pred, pred_in, gt_in))
+        # GT identity, or the hard argmax prediction under the curriculum.
+        # The hard label is all the scan needs at full resolution — the
+        # fused upsample+argmax epilogue (the eval fast path; bit-identical
+        # to resize->argmax) avoids materializing the [H, W, C] float
+        # logits inside the rematted body; the loss itself is computed
+        # OUTSIDE the scan, batched over frames, from the emitted logits4.
+        l4d = jax.lax.stop_gradient(logits4)
+        if b == 1:
+            pred_label = upsample_argmax(l4d, hw_in,
+                                         cfg.model_align_corners)[None]
+        else:
+            full = resize_bilinear(l4d, hw_in, cfg.model_align_corners)
+            pred_label = jnp.argmax(full, axis=-1).astype(jnp.int32)
+        id_emb = id_embed(map_id_label(
+            jnp.where(use_prev_pred, pred_label, label_f)))
 
         lk, lv, sk, sv = apply(type(model).write_memories, mems, id_emb)
         do_long = fidx - last_mem_step >= cfg.train_long_term_mem_gap
@@ -216,6 +248,7 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
         new_first = jax.tree_util.tree_map(
             lambda f, n: jnp.where(fidx == 1, jax.lax.stop_gradient(n), f),
             first_short, new_short)
+        ys = (logits4, pred_label)
         if cfg.reverse_infer:
             # lax.cond (not where-masking) so the reverse decode's full
             # LSTT forward runs only on gap-boundary frames, mirroring the
@@ -224,28 +257,21 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
             rloss = jax.lax.cond(
                 do_long,
                 lambda ops: reverse_loss_fn(*ops),
-                lambda ops: jnp.zeros_like(loss),
+                lambda ops: jnp.zeros((b,), jnp.float32),
                 (new_bank, new_first))
-            loss = loss + rloss
-        # train-time IoU meter input (trainer.py:635-653, metric.py:4-36)
-        from rmem_tpu.utils.metric import pytorch_iou_batched
-        iou = pytorch_iou_batched(jax.lax.stop_gradient(pred_label),
-                                  label_f, obj_nums, cfg.model_max_obj_num)
+            ys = ys + (rloss,)
         new_last = jnp.where(do_long, fidx, last_mem_step)
         return (new_bank, new_short, new_first, new_last,
-                new_ghk, new_ghv,
-                jax.lax.stop_gradient(pred_label)), (loss, iou)
+                new_ghk, new_ghv), ys
 
     short0 = (sk, sv)
     xs_scan = tuple(jnp.swapaxes(x[:, 1:], 0, 1) for x in xs_bt)
+    labels_scan = jnp.swapaxes(labels[:, 1:], 0, 1)
     scan_data = (xs_scan,
-                 jnp.swapaxes(labels[:, 1:], 0, 1),
-                 jnp.swapaxes(one_hots[:, 1:], 0, 1),
-                 jnp.swapaxes(ignores[:, 1:], 0, 1),
+                 labels_scan,
                  jnp.arange(1, t, dtype=jnp.int32))
     carry0 = (bank, short0, jax.tree_util.tree_map(jnp.zeros_like, short0),
-              jnp.zeros((), jnp.int32), ghk0, ghv0,
-              jnp.zeros((b,) + hw_in, jnp.int32))
+              jnp.zeros((), jnp.int32), ghk0, ghv0)
 
     # remat policy over the per-frame LSTT body (the encoder is already
     # outside the scan): "full" recomputes everything in the backward pass,
@@ -266,8 +292,23 @@ def train_forward(model, params, imgs, labels, obj_nums, step, shuffle,
                     "topk_mask")))
     else:
         body = frame_body
-    carry_out, (losses, ious) = jax.lax.scan(body, carry0, scan_data)
-    last_pred = carry_out[-1]  # [B,H,W] argmax of the final frame
+    carry_out, ys = jax.lax.scan(
+        body, carry0, scan_data, unroll=max(1, cfg.train_scan_unroll))
+    logits4_seq, pred_seq = ys[0], ys[1]  # [T-1,B,h4,w4,C], [T-1,B,H,W]
+    last_pred = pred_seq[-1]              # [B,H,W] argmax of the final frame
+
+    # per-frame loss + IoU meter, batched over frames OUTSIDE the rematted
+    # scan body: the full-resolution chain (4x upsample, log_softmax, radix
+    # top-k, Jaccard) runs once forward and once backward over [T-1] frames
+    # instead of forward + remat-recompute + backward per scan iteration,
+    # and its intermediates never enter the scan carry/residuals
+    from rmem_tpu.utils.metric import pytorch_iou_batched
+    losses = jax.vmap(lambda l4, lab: frame_loss(l4, lab)[1])(
+        logits4_seq, labels_scan)         # [T-1, B]
+    ious = jax.vmap(lambda p, lab: pytorch_iou_batched(
+        p, lab, obj_nums, cfg.model_max_obj_num))(pred_seq, labels_scan)
+    if cfg.reverse_infer:
+        losses = losses + ys[2]
     # losses [T-1, B]; ious [T-1]
 
     # 4. combine (aot_engine.py:108-113, _init_losses:145-146)

@@ -300,3 +300,42 @@ def test_yuv420_roundtrip_matches_cv2():
         assert np.abs(ours - ref).max() <= 1.0
         # smooth content reconstructs closely (lossy but bounded)
         assert np.abs(ours - img.astype(np.float32)).mean() < 10.0
+
+
+@pytest.mark.parametrize("ignore_token", [True, False])
+def test_patch_wise_id_bank_label_path_shuffled(ignore_token):
+    """The train engine's int-label remap (channel = perm[label], 255 ->
+    obj+1; engine/training.map_id_label) must equal the reference float
+    chain one_hot -> apply_ignore_token(shuffle) through the id bank —
+    the id-shuffle augmentation collapsing to an integer permutation."""
+    from rmem_tpu.models.aot import _PatchWiseIdBank
+    from rmem_tpu.ops.masks import (apply_ignore_token, host_id_shuffle_matrix,
+                                    one_hot_mask)
+
+    rng = np.random.RandomState(17)
+    h, w, max_obj = 33, 49, 3
+    in_c = max_obj + 1 + int(ignore_token)
+    labels = rng.randint(0, max_obj + 1, (2, h, w)).astype(np.int32)
+    labels[0, :5, :7] = 255
+    label = jnp.asarray(labels)
+    shuffle = jnp.asarray(host_id_shuffle_matrix(rng, max_obj + 1, 2))
+
+    mine = _PatchWiseIdBank(features=32, kernel_size=17, in_channels=in_c)
+    oh_f, ig = one_hot_mask(label, max_obj)
+    if ignore_token:
+        full = apply_ignore_token(oh_f, ig, shuffle)
+    else:
+        full = jnp.einsum("bhwo,bot->bhwt", oh_f, shuffle)
+    params = mine.init(jax.random.PRNGKey(1), full)["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)) * 0.1,
+        params)
+    ref = mine.apply({"params": params}, full)
+
+    perm = jnp.argmax(shuffle, axis=-1).astype(jnp.int32)   # [B, obj+1]
+    safe = jnp.clip(label, 0, max_obj).astype(jnp.int32)
+    mapped = jax.vmap(lambda p, l: p[l])(perm, safe)
+    mapped = jnp.where(label == 255, max_obj + 1, mapped)
+    out = mine.apply({"params": params}, mapped)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
